@@ -1,0 +1,207 @@
+"""Config system: frozen dataclasses, one registry entry per BASELINE.json config.
+
+The reference (SURVEY.md §3 "Config/flags") drives everything through argparse
+flags plus per-dataset shell scripts. Here every knob is an explicit dataclass
+field; named configs in `_REGISTRY` mirror BASELINE.json's five scenarios.
+All shapes derived from a config are static so the whole pipeline compiles
+under `jit` once per config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyper-parameters (SURVEY.md §3.3 — tunable, low confidence)."""
+
+    feature_dim: int = 4096          # C3D fc6 = 4096, I3D = 1024
+    hidden_dim: int = 512            # model width D
+    embed_dim: int = 300             # GloVe 300-d
+    vocab_size: int = 8000           # hashed-vocab buckets when GloVe absent
+    num_lstm_layers: int = 3         # one level-specific representation per layer
+    num_levels: int = 3              # temporal pyramid levels (strides 1/2/4)
+    fusion_kernel_size: int = 3      # 1D conv width in the fusion block
+    head_tower_layers: int = 2       # convs in loc/match towers (shared across levels)
+    iou_head_layers: int = 2
+    # max(d_start, d_end) range-of-interest per level, as fractions of the
+    # base temporal grid (FCOS-style object_sizes_of_interest, 1-D analogue).
+    level_ranges: Tuple[Tuple[float, float], ...] = (
+        (0.0, 0.20),
+        (0.20, 0.45),
+        (0.45, 2.00),
+    )
+    dtype: str = "bfloat16"          # compute dtype for conv/matmul (MXU-friendly)
+    param_dtype: str = "float32"
+    use_pallas_fusion: bool = True   # Pallas fused tile⊙mul+conv on TPU
+
+    def __post_init__(self):
+        assert len(self.level_ranges) == self.num_levels
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset + host-pipeline knobs (SURVEY.md §3 Datasets / §4.4)."""
+
+    dataset: str = "charades"        # charades | activitynet | tacos | synthetic
+    feature_type: str = "c3d"        # c3d | i3d
+    feature_dir: str = ""            # dir of per-video .npy / single .h5
+    annotation_path: str = ""        # charades_sta_{split}.txt or dataset JSON
+    glove_path: str = ""             # optional GloVe .txt; hashed fallback if empty
+    num_clips: int = 64              # fixed temporal grid T after sampling
+    max_query_len: int = 20          # queries padded/truncated to this
+    lowercase: bool = True
+    batch_size: int = 32
+    shuffle_buffer: int = 2048
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Two-stage recipe (SURVEY.md §4.1/§4.2)."""
+
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 10.0
+    num_epochs: int = 30
+    lr_decay_epochs: Tuple[int, ...] = (20,)
+    lr_decay_rate: float = 0.1
+    stage: int = 1                   # 1 = grounding heads, 2 = +IoU head
+    match_loss_weight: float = 1.0
+    reg_loss_weight: float = 1.0
+    iou_loss_weight: float = 1.0
+    focal_alpha: float = 0.25        # focal loss for matching head; alpha<0 → plain BCE
+    focal_gamma: float = 2.0
+    checkpoint_dir: str = "/tmp/drn_tpu_ckpt"
+    checkpoint_every_steps: int = 500
+    keep_checkpoints: int = 3
+    log_every_steps: int = 50
+    eval_every_epochs: int = 1
+    resume: bool = True
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Decode + NMS + recall (SURVEY.md §4.3)."""
+
+    top_k: int = 48                  # candidates kept before NMS (per query)
+    nms_iou_threshold: float = 0.5
+    recall_ns: Tuple[int, ...] = (1, 5)
+    iou_thresholds: Tuple[float, ...] = (0.3, 0.5, 0.7)
+    score_use_iou_head: bool = True  # score = sigmoid(match) * sigmoid(iou_pred)
+    batch_size: int = 32
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / parallelism layout (SURVEY.md §3.1-§3.2).
+
+    DP over a `data` axis is the parity requirement (the reference's only
+    strategy is DDP). A `model` axis tensor-shards the wide conv/embed
+    kernels when >1.
+    """
+
+    data_axis: int = -1              # -1 → all remaining devices
+    model_axis: int = 1
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "charades_c3d"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(name: str, **sections: Dict[str, Any]) -> ExperimentConfig:
+    base = ExperimentConfig(name=name)
+    updates = {}
+    for sec, kw in sections.items():
+        updates[sec] = dataclasses.replace(getattr(base, sec), **kw)
+    return dataclasses.replace(base, **updates)
+
+
+# Registry — one entry per BASELINE.json config scenario.
+_REGISTRY: Dict[str, ExperimentConfig] = {
+    # 1) Charades-STA, C3D features (single-query latency & parity target).
+    "charades_c3d": _cfg(
+        "charades_c3d",
+        model=dict(feature_dim=4096),
+        data=dict(dataset="charades", feature_type="c3d", num_clips=64),
+    ),
+    # Charades-STA, I3D features.
+    "charades_i3d": _cfg(
+        "charades_i3d",
+        model=dict(feature_dim=1024),
+        data=dict(dataset="charades", feature_type="i3d", num_clips=64),
+    ),
+    # 2) Charades-STA batched multi-query eval (on-device NMS, bigger batches).
+    "charades_c3d_batched_eval": _cfg(
+        "charades_c3d_batched_eval",
+        model=dict(feature_dim=4096),
+        data=dict(dataset="charades", feature_type="c3d", num_clips=64, batch_size=128),
+        eval=dict(batch_size=128),
+    ),
+    # 3) ActivityNet-Captions: longer videos, deeper pyramid, I3D features.
+    "activitynet_i3d": _cfg(
+        "activitynet_i3d",
+        model=dict(
+            feature_dim=1024,
+            num_levels=4,
+            level_ranges=((0.0, 0.12), (0.12, 0.25), (0.25, 0.5), (0.5, 2.0)),
+        ),
+        data=dict(dataset="activitynet", feature_type="i3d", num_clips=256,
+                  max_query_len=25),
+    ),
+    "activitynet_c3d": _cfg(
+        "activitynet_c3d",
+        model=dict(
+            feature_dim=500,  # ActivityNet release ships PCA-500 C3D features
+            num_levels=4,
+            level_ranges=((0.0, 0.12), (0.12, 0.25), (0.25, 0.5), (0.5, 2.0)),
+        ),
+        data=dict(dataset="activitynet", feature_type="c3d", num_clips=256,
+                  max_query_len=25),
+    ),
+    # 4) TACoS: fine-grained dense moments, high-resolution temporal grid.
+    "tacos_c3d": _cfg(
+        "tacos_c3d",
+        model=dict(
+            feature_dim=4096,
+            num_levels=4,
+            level_ranges=((0.0, 0.08), (0.08, 0.18), (0.18, 0.4), (0.4, 2.0)),
+        ),
+        data=dict(dataset="tacos", feature_type="c3d", num_clips=512,
+                  max_query_len=25),
+    ),
+    # 5) End-to-end training on a TPU mesh (synthetic fixture runs everywhere).
+    "synthetic_tiny": _cfg(
+        "synthetic_tiny",
+        model=dict(feature_dim=128, hidden_dim=64, vocab_size=128,
+                   num_lstm_layers=2, num_levels=2,
+                   level_ranges=((0.0, 0.3), (0.3, 2.0))),
+        data=dict(dataset="synthetic", num_clips=32, max_query_len=8,
+                  batch_size=8),
+        train=dict(num_epochs=2, log_every_steps=10),
+        eval=dict(top_k=16, batch_size=8),
+    ),
+}
+
+
+def get_config(name: str) -> ExperimentConfig:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown config {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def list_configs():
+    return sorted(_REGISTRY)

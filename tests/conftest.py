@@ -1,0 +1,18 @@
+"""Test env: force CPU backend with 8 virtual devices BEFORE jax imports.
+
+Exercises the same mesh/pjit code paths as a real multi-chip TPU slice
+(SURVEY.md §5) while keeping compiles fast in CI.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "float32")
