@@ -1,0 +1,153 @@
+"""Dataset loaders: Charades-STA, ActivityNet-Captions, TACoS, synthetic.
+
+Reference equivalents: `dataset/charades.py` / `activitynet.py` / `tacos.py`
+(SURVEY.md §3 "Datasets"/"Annotation parsing"). Each loader yields one
+example per (video, query, segment) triple:
+
+    features   (num_clips, F) float32 — resampled pre-extracted clips
+    word_ids   (max_query_len,) int32
+    query_mask (max_query_len,) bool
+    gt_grid    (2,) float32 — GT span in base-grid units [0, num_clips]
+    duration   () float32   — video duration in seconds
+    valid      () bool
+
+Annotation formats:
+  * Charades-STA: text lines "VID START END##sentence" (times in seconds).
+  * ActivityNet-Captions: JSON {vid: {"duration": s, "timestamps":
+    [[s,e],...], "sentences": [...]}}.
+  * TACoS: JSON {vid: {"num_frames": n, "fps": f, "timestamps" (frames),
+    "sentences"}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from drn_tpu.config import DataConfig, ModelConfig
+from drn_tpu.data.features import FeatureReader, resample_features
+from drn_tpu.data.vocab import Vocab, tokenize
+
+
+@dataclass
+class Example:
+    video_id: str
+    sentence: str
+    start_sec: float
+    end_sec: float
+    duration: float  # seconds; <=0 → derive from feature length at read time
+
+
+class GroundingDataset:
+    """Materializes fixed-shape numpy examples from annotations + features."""
+
+    def __init__(self, cfg: DataConfig, mcfg: ModelConfig, vocab: Vocab,
+                 examples: List[Example], reader: Optional[FeatureReader]):
+        self.cfg = cfg
+        self.mcfg = mcfg
+        self.vocab = vocab
+        self.examples = examples
+        self.reader = reader
+
+    def __len__(self):
+        return len(self.examples)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        ex = self.examples[i]
+        cfg = self.cfg
+        raw = self.reader.read(ex.video_id)
+        feats = resample_features(raw, cfg.num_clips)
+        duration = ex.duration if ex.duration > 0 else float(raw.shape[0])
+        ids, mask = self.vocab.encode(
+            tokenize(ex.sentence, cfg.lowercase), cfg.max_query_len
+        )
+        scale = cfg.num_clips / max(duration, 1e-6)
+        gs = np.clip(ex.start_sec * scale, 0.0, cfg.num_clips)
+        ge = np.clip(ex.end_sec * scale, 0.0, cfg.num_clips)
+        if ge <= gs:
+            ge = min(gs + 1e-3, float(cfg.num_clips))
+        return {
+            "features": feats,
+            "word_ids": ids,
+            "query_mask": mask,
+            "gt_grid": np.asarray([gs, ge], np.float32),
+            "duration": np.float32(duration),
+            "valid": np.bool_(True),
+        }
+
+
+def parse_charades_sta(path: str) -> List[Example]:
+    """Lines: "VID START END##sentence" (SURVEY.md §3 "Annotation parsing")."""
+    out = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or "##" not in line:
+                continue
+            meta, sentence = line.split("##", 1)
+            parts = meta.split()
+            if len(parts) < 3:
+                continue
+            vid, start, end = parts[0], float(parts[1]), float(parts[2])
+            out.append(Example(vid, sentence, start, end, duration=-1.0))
+    return out
+
+
+def parse_activitynet(path: str) -> List[Example]:
+    with open(path, "r", encoding="utf-8") as f:
+        data = json.load(f)
+    out = []
+    for vid, item in data.items():
+        dur = float(item["duration"])
+        for (s, e), sent in zip(item["timestamps"], item["sentences"]):
+            out.append(Example(vid, sent, float(s), float(e), dur))
+    return out
+
+
+def parse_tacos(path: str) -> List[Example]:
+    with open(path, "r", encoding="utf-8") as f:
+        data = json.load(f)
+    out = []
+    for vid, item in data.items():
+        fps = float(item["fps"])
+        dur = float(item["num_frames"]) / fps
+        for (s, e), sent in zip(item["timestamps"], item["sentences"]):
+            out.append(
+                Example(vid.replace(".avi", ""), sent,
+                        float(s) / fps, float(e) / fps, dur)
+            )
+    return out
+
+
+_PARSERS = {
+    "charades": parse_charades_sta,
+    "activitynet": parse_activitynet,
+    "tacos": parse_tacos,
+}
+
+
+def load_dataset(cfg: DataConfig, mcfg: ModelConfig, vocab: Vocab,
+                 split: str = "train") -> GroundingDataset:
+    if cfg.dataset == "synthetic":
+        from drn_tpu.data.synthetic import SyntheticDataset
+
+        return SyntheticDataset(cfg, mcfg, split=split)
+    parser = _PARSERS.get(cfg.dataset)
+    if parser is None:
+        raise KeyError(f"unknown dataset {cfg.dataset!r}")
+    ann = cfg.annotation_path
+    if "{split}" in ann:
+        ann = ann.format(split=split)
+    if not os.path.exists(ann):
+        raise FileNotFoundError(
+            f"annotation file {ann!r} not found — point DataConfig."
+            f"annotation_path at the dataset release (use dataset='synthetic' "
+            f"for the offline fixture)"
+        )
+    examples = parser(ann)
+    return GroundingDataset(cfg, mcfg, vocab, examples,
+                            FeatureReader(cfg.feature_dir))

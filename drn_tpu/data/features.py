@@ -1,0 +1,63 @@
+"""Feature-file IO + temporal resampling to the fixed clip grid.
+
+Reference equivalent: h5py/np.load reads + temporal sample/interpolate in
+each Dataset.__getitem__ (SURVEY.md §4.4). Supports a directory of
+`{video_id}.npy` arrays (T_raw, F) or a single HDF5 file keyed by video id.
+Resampling is linear interpolation onto `num_clips` uniformly spaced
+timestamps — fixed output shape keeps every downstream op static under jit.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def resample_features(feats: np.ndarray, num_clips: int) -> np.ndarray:
+    """(T_raw, F) → (num_clips, F) by linear interpolation along time."""
+    t_raw = feats.shape[0]
+    if t_raw == num_clips:
+        return feats.astype(np.float32)
+    if t_raw == 1:
+        return np.repeat(feats, num_clips, axis=0).astype(np.float32)
+    src = np.linspace(0.0, t_raw - 1.0, num_clips)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, t_raw - 1)
+    w = (src - lo)[:, None].astype(np.float32)
+    out = feats[lo] * (1.0 - w) + feats[hi] * w
+    return out.astype(np.float32)
+
+
+class FeatureReader:
+    """Reads per-video features from a .npy directory or an .h5/.hdf5 file."""
+
+    def __init__(self, feature_dir: str):
+        self.feature_dir = feature_dir
+        self._h5 = None
+        self._is_h5 = feature_dir.endswith((".h5", ".hdf5"))
+
+    def _h5_file(self):
+        if self._h5 is None:
+            import h5py  # optional dep; only needed for HDF5 archives
+
+            self._h5 = h5py.File(self.feature_dir, "r")
+        return self._h5
+
+    def num_frames(self, video_id: str) -> Optional[int]:
+        try:
+            return self.read(video_id).shape[0]
+        except (FileNotFoundError, KeyError):
+            return None
+
+    def read(self, video_id: str) -> np.ndarray:
+        if self._is_h5:
+            f = self._h5_file()
+            if video_id not in f:
+                raise KeyError(video_id)
+            return np.asarray(f[video_id])
+        path = os.path.join(self.feature_dir, f"{video_id}.npy")
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return np.load(path)

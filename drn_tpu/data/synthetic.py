@@ -1,0 +1,64 @@
+"""Synthetic grounding fixture: learnable random "videos" + token queries.
+
+The offline stand-in for Charades-STA (SURVEY.md §5 "tiny synthetic dataset
+fixture"): each example hides a query-dependent signal pattern inside the GT
+span, so a correct model can drive the loss toward zero and recall toward
+100% — used for the overfit correctness gate and end-to-end CI.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from drn_tpu.config import DataConfig, ModelConfig
+from drn_tpu.data.vocab import PAD_ID
+
+
+class SyntheticDataset:
+    def __init__(self, cfg: DataConfig, mcfg: ModelConfig, split: str = "train",
+                 num_examples: int = 256):
+        self.cfg = cfg
+        self.mcfg = mcfg
+        seed = cfg.seed + (0 if split == "train" else 10_000)
+        self.rng = np.random.default_rng(seed)
+        self.num_examples = num_examples
+        f, v = mcfg.feature_dim, mcfg.vocab_size
+        # A fixed random projection: token id → feature-space signal vector.
+        proj_rng = np.random.default_rng(1234)
+        self.token_signal = proj_rng.normal(size=(v, f)).astype(np.float32)
+        self._examples = [self._make(i) for i in range(num_examples)]
+
+    def _make(self, i: int) -> Dict[str, np.ndarray]:
+        cfg, mcfg = self.cfg, self.mcfg
+        t, f, l = cfg.num_clips, mcfg.feature_dim, cfg.max_query_len
+        n_words = int(self.rng.integers(2, l + 1))
+        ids = np.full((l,), PAD_ID, np.int32)
+        ids[:n_words] = self.rng.integers(2, mcfg.vocab_size, n_words)
+        mask = np.arange(l) < n_words
+
+        length = self.rng.uniform(0.1, 0.6) * t
+        start = self.rng.uniform(0, t - length)
+        end = start + length
+
+        feats = self.rng.normal(size=(t, f)).astype(np.float32)
+        signal = self.token_signal[ids[:n_words]].mean(axis=0)
+        inside = (np.arange(t) + 0.5 >= start) & (np.arange(t) + 0.5 < end)
+        feats[inside] += 2.0 * signal
+
+        duration = np.float32(60.0)
+        return {
+            "features": feats,
+            "word_ids": ids,
+            "query_mask": mask,
+            "gt_grid": np.asarray([start, end], np.float32),
+            "duration": duration,
+            "valid": np.bool_(True),
+        }
+
+    def __len__(self):
+        return self.num_examples
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        return self._examples[i]

@@ -1,0 +1,135 @@
+"""Evaluation: one jitted step = forward → decode → score → top-k → NMS →
+recall counts, all on device (reference: `test.py` + NumPy NMS, SURVEY.md
+§4.3 — the serial post-processing this framework eliminates).
+
+tIoU is invariant under the grid→seconds scaling, so metrics are computed
+directly in base-grid units; predicted segments are still returned in
+seconds for the user-facing API.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drn_tpu.config import ExperimentConfig, get_config
+from drn_tpu.data.pipeline import BatchIterator, make_dataset
+from drn_tpu.models import DRN
+from drn_tpu.ops.nms import temporal_nms
+from drn_tpu.ops.metrics import recall_at_n
+from drn_tpu.utils.checkpoint import CheckpointManager
+from drn_tpu.utils.logging import MetricLogger
+
+
+def make_eval_step(cfg: ExperimentConfig, model: DRN):
+    e = cfg.eval
+    base_len = float(cfg.data.num_clips)
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.apply(
+            params, batch["features"], batch["word_ids"], batch["query_mask"]
+        )
+        score = jax.nn.sigmoid(out["match_logits"])
+        if e.score_use_iou_head:
+            score = score * jax.nn.sigmoid(out["iou_logits"])
+        top_scores, top_idx = jax.lax.top_k(score, e.top_k)
+        top_segs = jnp.take_along_axis(
+            out["segments"], top_idx[..., None], axis=1
+        )
+        _, keep, sorted_segs = jax.vmap(
+            lambda s, sc: temporal_nms(s, sc, e.nms_iou_threshold)
+        )(top_segs, top_scores)
+        counts = recall_at_n(
+            sorted_segs, keep, batch["gt_grid"],
+            ns=e.recall_ns, iou_thresholds=e.iou_thresholds,
+            valid=batch["valid"],
+        )
+        n_valid = jnp.sum(batch["valid"].astype(jnp.float32))
+        scale = (batch["duration"] / base_len)[:, None, None]
+        return counts, n_valid, sorted_segs * scale, keep, top_scores
+
+    return eval_step
+
+
+def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
+             split: str = "test") -> Dict[str, float]:
+    """Full-split evaluation → {"R@n,IoU=m": percentage}."""
+    if dataset is None:
+        dataset = make_dataset(cfg.data, cfg.model, split=split)
+    batches = BatchIterator(
+        dataset, cfg.eval.batch_size, shuffle=False, seed=0
+    )
+    step = make_eval_step(cfg, model)
+    totals: Dict[Tuple[int, float], float] = {}
+    n_total = 0.0
+    for batch in batches.epoch(0):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        counts, n_valid, *_ = step(params, jb)
+        counts = jax.device_get(counts)
+        n_total += float(n_valid)
+        for k, v in counts.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+    return {
+        f"R@{n},IoU={m:g}": 100.0 * v / max(n_total, 1.0)
+        for (n, m), v in sorted(totals.items())
+    }
+
+
+def predict(cfg: ExperimentConfig, model: DRN, params, batch):
+    """User-facing inference: top segments in SECONDS + scores, post-NMS."""
+    step = make_eval_step(cfg, model)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    if "gt_grid" not in jb:  # inference without labels
+        b = jb["features"].shape[0]
+        jb["gt_grid"] = jnp.zeros((b, 2), jnp.float32)
+        jb["valid"] = jnp.ones((b,), bool)
+    _, _, segs_sec, keep, scores = step(params, jb)
+    return (
+        np.asarray(segs_sec),
+        np.asarray(keep),
+        np.asarray(scores),
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="drn_tpu evaluator")
+    p.add_argument("--config", default="charades_c3d")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--feature-dir", default=None)
+    p.add_argument("--annotation-path", default=None)
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.config)
+    da = {}
+    if args.feature_dir:
+        da["feature_dir"] = args.feature_dir
+    if args.annotation_path:
+        da["annotation_path"] = args.annotation_path
+    if da:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
+
+    from drn_tpu.train import build_model, init_state, make_optimizer
+
+    model = build_model(cfg)
+    state = init_state(cfg, model, make_optimizer(cfg, 1),
+                       jax.random.key(0))
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    restored = ckpt.restore({"params": state.params})
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint in {args.checkpoint_dir}")
+    results = evaluate(cfg, model, restored["params"], split=args.split)
+    log = MetricLogger(f"eval/{cfg.name}")
+    log.log(0, results)
+    for k, v in results.items():
+        print(f"{k}: {v:.2f}")
+
+
+if __name__ == "__main__":
+    main()

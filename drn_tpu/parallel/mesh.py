@@ -1,0 +1,70 @@
+"""Device mesh + sharding layout (SURVEY.md §3.1-§3.2, §6).
+
+The reference's only parallelism is DDP/NCCL data parallelism; the
+TPU-native layout is a 2-D ("data", "model") mesh:
+
+  * "data": batches sharded on the leading dim; gradient reduction is the
+    psum XLA inserts under `jit` — the DDP-allreduce equivalent, riding ICI.
+  * "model": optional tensor parallelism — output-channel dims of the wide
+    conv/dense kernels are sharded; XLA inserts the matching collectives.
+    With model=1 this degrades to pure DP (the parity configuration).
+
+No hand-written collectives: shardings are declared via NamedSharding and
+XLA's SPMD partitioner does the rest (scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, model_axis: int = 1) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_axis == 0, (n, model_axis)
+    arr = np.asarray(devices).reshape(n // model_axis, model_axis)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim of every array in the batch dict."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _param_spec(path_str: str, leaf: Any, model_size: int,
+                min_width: int) -> P:
+    """Tensor-parallel rule: shard output channels of wide kernels.
+
+    Conv kernels are (K, Cin, Cout), Dense kernels (Cin, Cout), the embed
+    table (V, E). Shard the last dim over "model" when it divides evenly
+    and is wide enough (>= min_width) to be worth the collective.
+    """
+    if model_size <= 1 or not hasattr(leaf, "ndim") or leaf.ndim < 2:
+        return P()
+    last = leaf.shape[-1]
+    if "kernel" in path_str and last >= min_width and last % model_size == 0:
+        return P(*([None] * (leaf.ndim - 1) + ["model"]))
+    return P()
+
+
+def param_shardings(params, mesh: Mesh, min_width: int = 128):
+    """NamedSharding pytree for params: TP on wide kernels, else replicated."""
+    model_size = mesh.shape["model"]
+
+    def f(path, leaf):
+        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        return NamedSharding(
+            mesh, _param_spec(path_str, leaf, model_size, min_width)
+        )
+
+    return jax.tree_util.tree_map_with_path(f, params)

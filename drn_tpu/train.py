@@ -1,0 +1,262 @@
+"""Training entrypoint: jitted train step, two-stage recipe, DP/TP mesh.
+
+Reference equivalent: `train.py` under torch.distributed.launch (SURVEY.md
+§4.1/§4.2). One compiled `train_step(state, batch) → (state, metrics)` with
+donated state; the epoch loop is pure host orchestration. Stage 2 restores
+the stage-1 checkpoint and turns on the IoU-head loss (targets from the
+model's own regressions).
+
+CLI:
+    python -m drn_tpu.train --config charades_c3d --stage 1
+    python -m drn_tpu.train --config charades_c3d --stage 2 \
+        --init-from /path/to/stage1_ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh
+
+from drn_tpu.config import ExperimentConfig, get_config
+from drn_tpu.data.pipeline import BatchIterator, make_dataset
+from drn_tpu.models import DRN
+from drn_tpu.models.drn import location_metadata
+from drn_tpu.models.losses import drn_loss
+from drn_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicate
+from drn_tpu.utils.checkpoint import CheckpointManager
+from drn_tpu.utils.logging import MetricLogger
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
+    t = cfg.train
+    boundaries = {
+        int(e * steps_per_epoch): t.lr_decay_rate for e in t.lr_decay_epochs
+    }
+    sched = optax.piecewise_constant_schedule(t.learning_rate, boundaries)
+    opt = optax.chain(
+        optax.clip_by_global_norm(t.grad_clip_norm),
+        optax.adamw(sched, weight_decay=t.weight_decay)
+        if t.weight_decay > 0
+        else optax.adam(sched),
+    )
+    return opt
+
+
+def build_model(cfg: ExperimentConfig,
+                pretrained_embeddings: Optional[np.ndarray] = None) -> DRN:
+    return DRN(
+        cfg.model,
+        base_len=cfg.data.num_clips,
+        pretrained_embeddings=pretrained_embeddings,
+        freeze_embeddings=pretrained_embeddings is not None,
+    )
+
+
+def init_state(cfg: ExperimentConfig, model: DRN, tx, rng) -> TrainState:
+    d = cfg.data
+    feats = jnp.zeros((2, d.num_clips, cfg.model.feature_dim), jnp.float32)
+    words = jnp.zeros((2, d.max_query_len), jnp.int32)
+    mask = jnp.ones((2, d.max_query_len), bool)
+    params = model.init(rng, feats, words, mask)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def make_train_step(cfg: ExperimentConfig, model: DRN, mesh: Optional[Mesh]):
+    locs, _, level_ids = location_metadata(cfg.model, cfg.data.num_clips)
+    base_len = cfg.data.num_clips
+    bsh = batch_sharding(mesh) if mesh is not None else None
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]
+                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if bsh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, {k: bsh for k in batch}
+            )
+
+        def loss_fn(params):
+            out = model.apply(
+                params, batch["features"], batch["word_ids"],
+                batch["query_mask"],
+            )
+            return drn_loss(
+                cfg.model, cfg.train, out, locs, level_ids,
+                batch["gt_grid"], base_len, batch["valid"],
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def shard_state(state: TrainState, mesh: Mesh,
+                tp_min_width: int = 128) -> TrainState:
+    """Place params per the TP rules; opt_state inherits via a fresh tx.init
+    on the sharded params (optax moments are zeros_like → same shardings),
+    onto which any restored opt_state values are transferred."""
+    psh = param_shardings(state.params, mesh, min_width=tp_min_width)
+    params = jax.device_put(state.params, psh)
+    fresh_opt = state.tx.init(params)
+
+    def _sh(x):
+        s = getattr(x, "sharding", None)
+        if s is not None and getattr(s, "mesh", None) is not None:
+            try:
+                if s.mesh.shape == mesh.shape:
+                    return s
+            except AttributeError:
+                pass
+        return replicate(mesh)
+
+    opt_shardings = jax.tree.map(_sh, fresh_opt)
+    opt_state = jax.device_put(state.opt_state, opt_shardings)
+    step = jax.device_put(state.step, replicate(mesh))
+    return state.replace(params=params, opt_state=opt_state, step=step)
+
+
+def put_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]):
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+    bsh = batch_sharding(mesh)
+    return {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+
+def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
+          init_from: Optional[str] = None, max_steps: Optional[int] = None,
+          eval_fn=None) -> TrainState:
+    """Full training run; returns final state (host-side orchestration only)."""
+    log = MetricLogger(f"train/{cfg.name}/stage{cfg.train.stage}")
+    dataset = make_dataset(cfg.data, cfg.model, split="train")
+    batches = BatchIterator(
+        dataset, cfg.data.batch_size, shuffle=True, seed=cfg.train.seed
+    )
+    steps_per_epoch = len(batches)
+
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = init_state(cfg, model, tx, jax.random.key(cfg.train.seed))
+
+    ckpt = CheckpointManager(
+        f"{cfg.train.checkpoint_dir}/{cfg.name}/stage{cfg.train.stage}",
+        keep=cfg.train.keep_checkpoints,
+        save_interval_steps=cfg.train.checkpoint_every_steps,
+    )
+    if init_from:  # stage-2 init from stage-1 params
+        src = CheckpointManager(init_from)
+        restored = src.restore({"params": state.params})
+        if restored is not None:
+            state = state.replace(params=restored["params"])
+        src.close()
+    if cfg.train.resume:
+        restored = ckpt.restore(
+            {"params": state.params, "opt_state": state.opt_state, "step": 0}
+        )
+        if restored is not None:
+            state = state.replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                step=int(restored["step"]),
+            )
+
+    if mesh is not None:
+        state = shard_state(state, mesh)
+    train_step = make_train_step(cfg, model, mesh)
+
+    step = int(state.step)
+    done = False
+    for epoch in range(cfg.train.num_epochs):
+        if done:
+            break
+        for batch in batches.epoch(epoch):
+            if step < int(state.step):  # resumed past this batch
+                step += 1
+                continue
+            state, metrics = train_step(state, put_batch(batch, mesh))
+            step += 1
+            if step % cfg.train.log_every_steps == 0 or step == 1:
+                log.log(step, {"epoch": epoch, **jax.device_get(metrics)})
+            ckpt.save(
+                step,
+                {"params": jax.device_get(state.params),
+                 "opt_state": jax.device_get(state.opt_state),
+                 "step": step},
+            )
+            if max_steps is not None and step >= max_steps:
+                done = True
+                break
+        if eval_fn is not None and (epoch + 1) % cfg.train.eval_every_epochs == 0:
+            eval_fn(state, epoch)
+    ckpt.save(
+        step,
+        {"params": jax.device_get(state.params),
+         "opt_state": jax.device_get(state.opt_state), "step": step},
+        force=True,
+    )
+    ckpt.wait()
+    ckpt.close()
+    return state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="drn_tpu trainer")
+    p.add_argument("--config", default="charades_c3d")
+    p.add_argument("--stage", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--feature-dir", default=None)
+    p.add_argument("--annotation-path", default=None)
+    p.add_argument("--glove-path", default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--init-from", default=None,
+                   help="stage-1 checkpoint dir for stage-2 init")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--model-axis", type=int, default=1,
+                   help="TP axis size; data axis gets the rest")
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.config)
+    tr, da = {}, {}
+    if args.stage is not None:
+        tr["stage"] = args.stage
+    if args.epochs is not None:
+        tr["num_epochs"] = args.epochs
+    if args.lr is not None:
+        tr["learning_rate"] = args.lr
+    if args.checkpoint_dir is not None:
+        tr["checkpoint_dir"] = args.checkpoint_dir
+    if args.batch_size is not None:
+        da["batch_size"] = args.batch_size
+    if args.feature_dir is not None:
+        da["feature_dir"] = args.feature_dir
+    if args.annotation_path is not None:
+        da["annotation_path"] = args.annotation_path
+    if args.glove_path is not None:
+        da["glove_path"] = args.glove_path
+    if tr:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
+    if da:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
+
+    mesh = make_mesh(model_axis=args.model_axis) if len(jax.devices()) > 1 else None
+    train(cfg, mesh=mesh, init_from=args.init_from, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Orbax checkpointing: async save, latest-step resume (SURVEY.md §6).
+
+Reference equivalent: `torch.save({'epoch', 'model', 'optimizer'})` +
+`--resume` (SURVEY.md §3 "Checkpointing"); here a CheckpointManager holds
+{params, opt_state, step} with retention and auto-resume from the latest
+step — the elastic-recovery story the reference lacks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3,
+                 save_interval_steps: int = 1):
+        os.makedirs(directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                save_interval_steps=save_interval_steps,
+                enable_async_checkpointing=True,
+            ),
+        )
+
+    def save(self, step: int, state: Any, force: bool = False) -> bool:
+        return self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()

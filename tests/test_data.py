@@ -1,0 +1,127 @@
+"""Data layer tests: tokenizer, vocab, parsers, resampling, batching."""
+
+import json
+
+import numpy as np
+
+from drn_tpu.config import get_config
+from drn_tpu.data.datasets import (
+    parse_activitynet,
+    parse_charades_sta,
+    parse_tacos,
+)
+from drn_tpu.data.features import resample_features
+from drn_tpu.data.pipeline import BatchIterator, make_dataset
+from drn_tpu.data.vocab import PAD_ID, UNK_ID, Vocab, tokenize
+
+
+def test_tokenize():
+    assert tokenize("A person Opens the door.") == \
+        ["a", "person", "opens", "the", "door"]
+    assert tokenize("it's 5 o'clock!") == ["it's", "5", "o'clock"]
+
+
+def test_hashed_vocab_deterministic():
+    v = Vocab.hashed(100)
+    a, b = v.lookup("door"), v.lookup("door")
+    assert a == b and 2 <= a < 100
+    ids, mask = v.encode(["open", "the", "door"], 5)
+    assert ids.shape == (5,) and mask.tolist() == [True, True, True, False, False]
+    assert ids[3] == PAD_ID
+    ids2, mask2 = v.encode([], 5)
+    assert ids2[0] == UNK_ID and mask2[0]
+
+
+def test_glove_loading(tmp_path):
+    dim = 4
+    p = tmp_path / "glove.txt"
+    p.write_text("hello 1 2 3 4\nworld 0 0 1 0\n")
+    v = Vocab.from_glove(str(p), embed_dim=dim)
+    assert v.embeddings.shape == (4, dim)  # PAD, UNK, hello, world
+    assert v.lookup("hello") == 2
+    assert v.lookup("zzz") == UNK_ID
+    np.testing.assert_allclose(v.embeddings[2], [1, 2, 3, 4])
+
+
+def test_parse_charades(tmp_path):
+    p = tmp_path / "charades_sta_train.txt"
+    p.write_text(
+        "AO8RW 0.0 6.9##a person is putting a book on a shelf.\n"
+        "XYZ12 2.5 10.0##person opens the door\n"
+        "malformed line without separator\n"
+    )
+    ex = parse_charades_sta(str(p))
+    assert len(ex) == 2
+    assert ex[0].video_id == "AO8RW" and ex[0].end_sec == 6.9
+    assert "book" in ex[0].sentence
+
+
+def test_parse_activitynet_and_tacos(tmp_path):
+    anet = {"v_1": {"duration": 120.0,
+                    "timestamps": [[0, 30], [40, 90]],
+                    "sentences": ["first thing", "second thing"]}}
+    p = tmp_path / "anet.json"
+    p.write_text(json.dumps(anet))
+    ex = parse_activitynet(str(p))
+    assert len(ex) == 2 and ex[1].start_sec == 40 and ex[1].duration == 120.0
+
+    tacos = {"s13-d21.avi": {"num_frames": 3000, "fps": 30.0,
+                             "timestamps": [[300, 900]],
+                             "sentences": ["takes out knife"]}}
+    p2 = tmp_path / "tacos.json"
+    p2.write_text(json.dumps(tacos))
+    ex2 = parse_tacos(str(p2))
+    assert ex2[0].video_id == "s13-d21"
+    assert ex2[0].start_sec == 10.0 and ex2[0].duration == 100.0
+
+
+def test_resample_features():
+    f = np.arange(10, dtype=np.float32)[:, None]
+    out = resample_features(f, 5)
+    assert out.shape == (5, 1)
+    np.testing.assert_allclose(out[:, 0], [0, 2.25, 4.5, 6.75, 9.0])
+    out2 = resample_features(f, 10)
+    np.testing.assert_allclose(out2, f)
+    out3 = resample_features(f[:1], 4)
+    np.testing.assert_allclose(out3[:, 0], [0, 0, 0, 0])
+
+
+def test_charades_end_to_end_with_npy_features(tmp_path):
+    cfg = get_config("synthetic_tiny")
+    d = cfg.data
+    import dataclasses
+    ann = tmp_path / "charades_sta_train.txt"
+    ann.write_text("VID1 1.0 5.0##person opens door\n"
+                   "VID2 0.0 30.0##person reads book\n")
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    rng = np.random.default_rng(0)
+    np.save(feat_dir / "VID1.npy",
+            rng.normal(size=(48, cfg.model.feature_dim)).astype(np.float32))
+    np.save(feat_dir / "VID2.npy",
+            rng.normal(size=(30, cfg.model.feature_dim)).astype(np.float32))
+    d = dataclasses.replace(
+        d, dataset="charades", annotation_path=str(ann),
+        feature_dir=str(feat_dir), batch_size=2,
+    )
+    ds = make_dataset(d, cfg.model)
+    assert len(ds) == 2
+    row = ds[0]
+    assert row["features"].shape == (d.num_clips, cfg.model.feature_dim)
+    # duration falls back to raw feature length (48) → gt scaled accordingly
+    np.testing.assert_allclose(
+        row["gt_grid"], [1.0 * 32 / 48, 5.0 * 32 / 48], rtol=1e-5
+    )
+    batches = list(BatchIterator(ds, 2, shuffle=False).epoch(0))
+    assert len(batches) == 1
+    assert batches[0]["features"].shape == (2, d.num_clips, cfg.model.feature_dim)
+
+
+def test_batch_padding_final_ragged_batch():
+    cfg = get_config("synthetic_tiny")
+    ds = make_dataset(cfg.data, cfg.model)
+    it = BatchIterator(ds, 100, shuffle=True, seed=3)
+    bs = list(it.epoch(0))
+    assert len(bs) == 3  # 256 examples / 100
+    assert bs[-1]["valid"].sum() == 56
+    assert bs[-1]["features"].shape[0] == 100
