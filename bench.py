@@ -1,0 +1,118 @@
+"""Headline benchmark: Charades-STA grounding queries/sec on one TPU chip.
+
+Measures the full batched inference path (forward -> decode -> score ->
+top-k -> on-device temporal NMS -> recall counts) of the flagship
+`charades_c3d_batched_eval` config, end to end under one jit, and compares
+against a PyTorch-CPU implementation of the same architecture with serial
+NumPy NMS (`baselines/torch_cpu_reference.py`) — BASELINE.md's binding
+">= 20x queries/sec over PyTorch CPU" target.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "queries/s", "vs_baseline": N}
+Everything else goes to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_tpu_qps(cfg, iters: int, warmup: int = 2) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from drn_tpu.evaluate import make_eval_step
+    from drn_tpu.train import build_model, init_state, make_optimizer
+
+    b = cfg.eval.batch_size
+    t, f, l = cfg.data.num_clips, cfg.model.feature_dim, cfg.data.max_query_len
+    rng = np.random.default_rng(0)
+    batch = {
+        "features": jnp.asarray(rng.normal(size=(b, t, f)), jnp.float32),
+        "word_ids": jnp.asarray(
+            rng.integers(2, cfg.model.vocab_size, (b, l)), jnp.int32
+        ),
+        "query_mask": jnp.asarray(
+            np.arange(l)[None, :] < rng.integers(3, l + 1, (b, 1))
+        ),
+        "gt_grid": jnp.asarray(
+            np.stack([np.full(b, 8.0), np.full(b, 24.0)], -1), jnp.float32
+        ),
+        "duration": jnp.full((b,), 30.0, jnp.float32),
+        "valid": jnp.ones((b,), bool),
+    }
+
+    model = build_model(cfg)
+    state = init_state(
+        cfg, model, make_optimizer(cfg, 1), jax.random.key(0)
+    )
+    step = make_eval_step(cfg, model)
+
+    for _ in range(warmup):
+        out = step(state.params, batch)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(state.params, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return b * iters / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--baseline-queries", type=int, default=48,
+                   help="queries for the torch-CPU measurement")
+    p.add_argument("--skip-torch", action="store_true")
+    args = p.parse_args()
+
+    from drn_tpu.config import get_config
+
+    cfg = get_config("charades_c3d_batched_eval")
+
+    import jax
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    qps = measure_tpu_qps(cfg, iters=args.iters)
+    log(f"tpu queries/sec: {qps:.1f}")
+
+    vs_baseline = None
+    if not args.skip_torch:
+        try:
+            import torch
+
+            torch.set_num_threads(max(1, torch.get_num_threads()))
+            from baselines.torch_cpu_reference import measure_qps
+
+            ref_qps = measure_qps(
+                n_queries=args.baseline_queries,
+                feature_dim=cfg.model.feature_dim,
+                t=cfg.data.num_clips,
+                l=cfg.data.max_query_len,
+            )
+            log(f"torch-cpu queries/sec: {ref_qps:.2f}")
+            vs_baseline = qps / ref_qps
+        except Exception as e:  # torch baseline is best-effort
+            log(f"torch baseline failed: {e!r}")
+
+    print(json.dumps({
+        "metric": "charades_sta_grounding_queries_per_sec_per_chip",
+        "value": round(qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _fusion_kernel(v_ref, q_ref, w_ref, b_ref, o_ref):
     t, d = v_ref.shape[1], v_ref.shape[2]
     k = w_ref.shape[0]
-    x = v_ref[0] * q_ref[:]                      # (T, D) ⊙ (1, D) broadcast
+    x = v_ref[0] * q_ref[0]                      # (T, D) ⊙ (1, D) broadcast
     xp = jnp.pad(x, ((k // 2, k // 2), (0, 0)))  # stays in VMEM
     acc = jnp.zeros((t, d), jnp.float32)
     for i in range(k):                           # K static → unrolled matmuls
@@ -43,7 +43,10 @@ def _forward(v, q, w, b, *, interpret: bool):
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # q as (B, 1, D) so the block's last two dims (1, D) exactly
+            # match the array dims (TPU lowering requires (8k, 128k) blocks
+            # OR full-array dims; (1, D) over a (B, D) array is neither).
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -57,7 +60,7 @@ def _forward(v, q, w, b, *, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(v, q, w, b[None, :])
+    )(v, q[:, None, :], w, b[None, :])
 
 
 @jax.custom_vjp
