@@ -75,6 +75,8 @@ def main():
     p.add_argument("--baseline-queries", type=int, default=48,
                    help="queries for the torch-CPU measurement")
     p.add_argument("--skip-torch", action="store_true")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace of the timed loop")
     args = p.parse_args()
 
     from drn_tpu.config import get_config
@@ -84,7 +86,14 @@ def main():
     import jax
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
-    qps = measure_tpu_qps(cfg, iters=args.iters)
+    if args.profile:
+        from drn_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            qps = measure_tpu_qps(cfg, iters=args.iters)
+        log(f"profiler trace written to {args.profile}")
+    else:
+        qps = measure_tpu_qps(cfg, iters=args.iters)
     log(f"tpu queries/sec: {qps:.1f}")
 
     vs_baseline = None

@@ -17,21 +17,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import Mesh
+
 from drn_tpu.config import ExperimentConfig, get_config
 from drn_tpu.data.pipeline import BatchIterator, make_dataset
 from drn_tpu.models import DRN
 from drn_tpu.ops.nms import temporal_nms
 from drn_tpu.ops.metrics import recall_at_n
+from drn_tpu.parallel import batch_sharding
 from drn_tpu.utils.checkpoint import CheckpointManager
 from drn_tpu.utils.logging import MetricLogger
 
 
-def make_eval_step(cfg: ExperimentConfig, model: DRN):
+def make_eval_step(cfg: ExperimentConfig, model: DRN,
+                   mesh: Optional[Mesh] = None):
+    """Jitted eval step; with `mesh`, batches are DP-sharded over the "data"
+    axis and the recall counts come back as global (replicated) scalars —
+    the DistributedSampler + metric-allreduce equivalent (SURVEY.md §4.3),
+    with XLA inserting the cross-device reduction."""
     e = cfg.eval
     base_len = float(cfg.data.num_clips)
+    bsh = batch_sharding(mesh) if mesh is not None else None
 
     @jax.jit
     def eval_step(params, batch):
+        if bsh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, {k: bsh for k in batch}
+            )
         out = model.apply(
             params, batch["features"], batch["word_ids"], batch["query_mask"]
         )
@@ -58,18 +71,23 @@ def make_eval_step(cfg: ExperimentConfig, model: DRN):
 
 
 def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
-             split: str = "test") -> Dict[str, float]:
+             split: str = "test", mesh: Optional[Mesh] = None
+             ) -> Dict[str, float]:
     """Full-split evaluation → {"R@n,IoU=m": percentage}."""
     if dataset is None:
         dataset = make_dataset(cfg.data, cfg.model, split=split)
     batches = BatchIterator(
         dataset, cfg.eval.batch_size, shuffle=False, seed=0
     )
-    step = make_eval_step(cfg, model)
+    step = make_eval_step(cfg, model, mesh)
+    bsh = batch_sharding(mesh) if mesh is not None else None
     totals: Dict[Tuple[int, float], float] = {}
     n_total = 0.0
     for batch in batches.epoch(0):
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        if bsh is None:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        else:
+            jb = {k: jax.device_put(v, bsh) for k, v in batch.items()}
         counts, n_valid, *_ = step(params, jb)
         counts = jax.device_get(counts)
         n_total += float(n_valid)
@@ -121,7 +139,7 @@ def main(argv=None):
     state = init_state(cfg, model, make_optimizer(cfg, 1),
                        jax.random.key(0))
     ckpt = CheckpointManager(args.checkpoint_dir)
-    restored = ckpt.restore({"params": state.params})
+    restored = ckpt.restore({"params": state.params}, partial=True)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint in {args.checkpoint_dir}")
     results = evaluate(cfg, model, restored["params"], split=args.split)

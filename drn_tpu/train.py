@@ -137,6 +137,27 @@ def put_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]):
     return {k: jax.device_put(v, bsh) for k, v in batch.items()}
 
 
+def _default_eval_fn(cfg: ExperimentConfig, model: DRN,
+                     mesh: Optional[Mesh]):
+    """Periodic val-split R@n,IoU@m during training (SURVEY.md §4.1
+    '(periodic) evaluate()'). Returns None when the split isn't available
+    (e.g. annotation files absent in CI)."""
+    try:
+        dataset = make_dataset(cfg.data, cfg.model, split="test")
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+    from drn_tpu.evaluate import evaluate
+
+    log = MetricLogger(f"eval/{cfg.name}")
+
+    def fn(state, epoch):
+        results = evaluate(cfg, model, state.params, dataset=dataset,
+                           mesh=mesh)
+        log.log(epoch, results)
+
+    return fn
+
+
 def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
           init_from: Optional[str] = None, max_steps: Optional[int] = None,
           eval_fn=None) -> TrainState:
@@ -159,7 +180,7 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
     )
     if init_from:  # stage-2 init from stage-1 params
         src = CheckpointManager(init_from)
-        restored = src.restore({"params": state.params})
+        restored = src.restore({"params": state.params}, partial=True)
         if restored is not None:
             state = state.replace(params=restored["params"])
         src.close()
@@ -177,6 +198,9 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
     if mesh is not None:
         state = shard_state(state, mesh)
     train_step = make_train_step(cfg, model, mesh)
+
+    if eval_fn is None:
+        eval_fn = _default_eval_fn(cfg, model, mesh)
 
     step = int(state.step)
     done = False
@@ -200,7 +224,9 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
             if max_steps is not None and step >= max_steps:
                 done = True
                 break
-        if eval_fn is not None and (epoch + 1) % cfg.train.eval_every_epochs == 0:
+        if (eval_fn is not None and not done
+                and cfg.train.eval_every_epochs > 0
+                and (epoch + 1) % cfg.train.eval_every_epochs == 0):
             eval_fn(state, epoch)
     ckpt.save(
         step,

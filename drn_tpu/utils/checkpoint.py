@@ -28,6 +28,8 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
+        if step in self._mgr.all_steps():
+            return False  # already persisted (e.g. final save after loop)
         return self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )
@@ -35,10 +37,21 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+    def restore(self, state_template: Any, step: Optional[int] = None,
+                partial: bool = False) -> Any:
+        """Restore into `state_template`'s structure. `partial=True` allows
+        the template to be a subtree of what's on disk (e.g. stage 2 loading
+        only `params` from a stage-1 {params, opt_state, step} checkpoint)."""
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             return None
+        if partial:
+            return self._mgr.restore(
+                step,
+                args=ocp.args.PyTreeRestore(
+                    state_template, partial_restore=True
+                ),
+            )
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_template)
         )

@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Offline end-to-end smoke: two-stage training + eval on the synthetic
+# fixture — runs anywhere (CPU or TPU), no dataset downloads.
+set -euo pipefail
+CKPT=$(mktemp -d)
+
+python -m drn_tpu.train --config synthetic_tiny --stage 1 --max-steps 10 \
+    --checkpoint-dir "$CKPT"
+python -m drn_tpu.train --config synthetic_tiny --stage 2 --max-steps 5 \
+    --checkpoint-dir "$CKPT" --init-from "$CKPT/synthetic_tiny/stage1"
+python -m drn_tpu.evaluate --config synthetic_tiny \
+    --checkpoint-dir "$CKPT/synthetic_tiny/stage2"
+echo "smoke ok"

@@ -1,0 +1,84 @@
+"""End-to-end pipeline tests: two-stage recipe, resume, distributed eval.
+
+Covers the reference workflows SURVEY.md §4.1/§4.2/§4.3 describe: stage-1
+training → checkpoint → stage-2 init from stage-1 → eval, plus the
+DP-sharded eval path on the virtual 8-device mesh.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from drn_tpu.config import get_config
+from drn_tpu.data.pipeline import BatchIterator, make_dataset
+from drn_tpu.evaluate import evaluate, make_eval_step
+from drn_tpu.parallel import make_mesh
+from drn_tpu.train import build_model, init_state, make_optimizer, train
+
+
+def _tiny_cfg(tmp_path, **train_kw):
+    cfg = get_config("synthetic_tiny")
+    tr = dict(checkpoint_dir=str(tmp_path), checkpoint_every_steps=1,
+              num_epochs=1, eval_every_epochs=0, log_every_steps=1000)
+    tr.update(train_kw)
+    return cfg.replace(train=dataclasses.replace(cfg.train, **tr))
+
+
+@pytest.mark.slow
+def test_two_stage_training(tmp_path):
+    cfg1 = _tiny_cfg(tmp_path, stage=1)
+    state1 = train(cfg1, max_steps=3)
+    assert int(state1.step) == 3
+
+    # Stage 2 initializes params from the stage-1 checkpoint.
+    cfg2 = _tiny_cfg(tmp_path, stage=2)
+    stage1_dir = f"{cfg1.train.checkpoint_dir}/{cfg1.name}/stage1"
+    state2 = train(cfg2, init_from=stage1_dir, max_steps=2)
+    assert int(state2.step) == 2
+
+    # Stage flag gates the IoU term in the total loss.
+    from drn_tpu.models.drn import location_metadata
+    from drn_tpu.models.losses import drn_loss
+
+    ds = make_dataset(cfg1.data, cfg1.model)
+    batch = next(BatchIterator(ds, cfg1.data.batch_size).epoch(0))
+    model = build_model(cfg1)
+    jb = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+    out = model.apply(state2.params, jb["features"], jb["word_ids"],
+                      jb["query_mask"])
+    locs, _, level_ids = location_metadata(cfg1.model, cfg1.data.num_clips)
+    t1, m1 = drn_loss(cfg1.model, cfg1.train, out, locs, level_ids,
+                      jb["gt_grid"], cfg1.data.num_clips, jb["valid"])
+    t2, m2 = drn_loss(cfg2.model, cfg2.train, out, locs, level_ids,
+                      jb["gt_grid"], cfg2.data.num_clips, jb["valid"])
+    np.testing.assert_allclose(
+        float(t2 - t1), float(m1["iou_loss"]), rtol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_resume_from_checkpoint(tmp_path):
+    cfg = _tiny_cfg(tmp_path, stage=1)
+    s1 = train(cfg, max_steps=2)
+    # Second call resumes at step 2 and continues to 4.
+    s2 = train(cfg, max_steps=4)
+    assert int(s1.step) == 2 and int(s2.step) == 4
+
+
+def test_eval_mesh_equivalence():
+    """DP-sharded eval must produce identical recall to single-device."""
+    cfg = get_config("synthetic_tiny")
+    model = build_model(cfg)
+    state = init_state(cfg, model, make_optimizer(cfg, 1), jax.random.key(0))
+    ds = make_dataset(cfg.data, cfg.model, split="test")
+    ds.num_examples = 32
+    ds._examples = ds._examples[:32]
+
+    r_single = evaluate(cfg, model, state.params, dataset=ds)
+    mesh = make_mesh(model_axis=1)
+    r_mesh = evaluate(cfg, model, state.params, dataset=ds, mesh=mesh)
+    assert r_single.keys() == r_mesh.keys()
+    for k in r_single:
+        np.testing.assert_allclose(r_single[k], r_mesh[k], atol=1e-6), k
