@@ -55,6 +55,7 @@ class DataConfig:
     max_query_len: int = 20          # queries padded/truncated to this
     lowercase: bool = True
     batch_size: int = 32
+    num_workers: int = 0             # >0 → Grain worker processes for IO
     shuffle_buffer: int = 2048
     seed: int = 0
 

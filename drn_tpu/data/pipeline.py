@@ -30,6 +30,73 @@ def make_dataset(cfg: DataConfig, mcfg: ModelConfig, vocab: Optional[Vocab] = No
     return load_dataset(cfg, mcfg, vocab, split)
 
 
+def _pad_batch_rows(batch: Dict[str, np.ndarray], batch_size: int
+                    ) -> Dict[str, np.ndarray]:
+    """Pad a ragged final batch to the fixed batch size (masked via `valid`)."""
+    n = batch["valid"].shape[0]
+    pad = batch_size - n
+    if pad <= 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        block = np.zeros((pad,) + v.shape[1:], v.dtype)
+        out[k] = np.concatenate([v, block])
+    out["valid"][n:] = False
+    out["gt_grid"][n:] = np.asarray([0.0, 1.0], np.float32)
+    out["query_mask"][n:, 0] = True  # keep LSTM lengths >= 1
+    return out
+
+
+class GrainBatchIterator:
+    """Grain-backed loader: parallel worker processes for the feature-file
+    reads (the DataLoader-worker equivalent, SURVEY.md §4.4 "fork boundary"),
+    per-process sharding for multi-host DP (the DistributedSampler
+    equivalent), deterministic per-epoch shuffling, fixed-shape batches.
+
+    Same `.epoch(i)` / `len()` interface as BatchIterator so train/eval code
+    is agnostic; select it with DataConfig.num_workers > 0.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, worker_count: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.worker_count = worker_count
+
+    def __len__(self):
+        return -(-len(self.dataset) // self.batch_size)
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        import grain.python as gp
+
+        sampler = gp.IndexSampler(
+            num_records=len(self.dataset),
+            shard_options=gp.ShardByJaxProcess(drop_remainder=False),
+            shuffle=self.shuffle,
+            num_epochs=1,
+            seed=self.seed + epoch_idx,
+        )
+        loader = gp.DataLoader(
+            data_source=self.dataset,
+            sampler=sampler,
+            operations=[gp.Batch(self.batch_size, drop_remainder=False)],
+            worker_count=self.worker_count,
+        )
+        for batch in loader:
+            yield _pad_batch_rows(batch, self.batch_size)
+
+
+def make_batch_iterator(dataset, cfg: DataConfig, *, shuffle: bool,
+                        seed: int):
+    """Grain pipeline when num_workers > 0, simple in-process otherwise."""
+    if getattr(cfg, "num_workers", 0) > 0:
+        return GrainBatchIterator(dataset, cfg.batch_size, shuffle=shuffle,
+                                  seed=seed, worker_count=cfg.num_workers)
+    return BatchIterator(dataset, cfg.batch_size, shuffle=shuffle, seed=seed)
+
+
 class BatchIterator:
     """Deterministic epoch iterator over a GroundingDataset-like object."""
 

@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from drn_tpu.config import ExperimentConfig, get_config
-from drn_tpu.data.pipeline import BatchIterator, make_dataset
+from drn_tpu.data.pipeline import make_batch_iterator, make_dataset
 from drn_tpu.models import DRN
 from drn_tpu.ops.nms import temporal_nms
 from drn_tpu.ops.metrics import recall_at_n
@@ -76,8 +76,10 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
     """Full-split evaluation → {"R@n,IoU=m": percentage}."""
     if dataset is None:
         dataset = make_dataset(cfg.data, cfg.model, split=split)
-    batches = BatchIterator(
-        dataset, cfg.eval.batch_size, shuffle=False, seed=0
+    batches = make_batch_iterator(
+        dataset,
+        dataclasses.replace(cfg.data, batch_size=cfg.eval.batch_size),
+        shuffle=False, seed=0,
     )
     step = make_eval_step(cfg, model, mesh)
     bsh = batch_sharding(mesh) if mesh is not None else None

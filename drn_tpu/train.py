@@ -27,7 +27,7 @@ from flax.training import train_state
 from jax.sharding import Mesh
 
 from drn_tpu.config import ExperimentConfig, get_config
-from drn_tpu.data.pipeline import BatchIterator, make_dataset
+from drn_tpu.data.pipeline import make_batch_iterator, make_dataset
 from drn_tpu.models import DRN
 from drn_tpu.models.drn import location_metadata
 from drn_tpu.models.losses import drn_loss
@@ -164,8 +164,8 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
     """Full training run; returns final state (host-side orchestration only)."""
     log = MetricLogger(f"train/{cfg.name}/stage{cfg.train.stage}")
     dataset = make_dataset(cfg.data, cfg.model, split="train")
-    batches = BatchIterator(
-        dataset, cfg.data.batch_size, shuffle=True, seed=cfg.train.seed
+    batches = make_batch_iterator(
+        dataset, cfg.data, shuffle=True, seed=cfg.train.seed
     )
     steps_per_epoch = len(batches)
 
@@ -249,6 +249,8 @@ def main(argv=None):
     p.add_argument("--feature-dir", default=None)
     p.add_argument("--annotation-path", default=None)
     p.add_argument("--glove-path", default=None)
+    p.add_argument("--num-workers", type=int, default=None,
+                   help=">0 uses Grain worker processes for the host pipeline")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--init-from", default=None,
                    help="stage-1 checkpoint dir for stage-2 init")
@@ -275,6 +277,8 @@ def main(argv=None):
         da["annotation_path"] = args.annotation_path
     if args.glove_path is not None:
         da["glove_path"] = args.glove_path
+    if args.num_workers is not None:
+        da["num_workers"] = args.num_workers
     if tr:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
     if da:
