@@ -80,6 +80,7 @@ class TrainConfig:
     checkpoint_every_steps: int = 500
     keep_checkpoints: int = 3
     log_every_steps: int = 50
+    tensorboard_dir: str = ""        # empty → JSONL-to-stderr only
     eval_every_epochs: int = 1
     resume: bool = True
     seed: int = 0

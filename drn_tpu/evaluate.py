@@ -95,6 +95,19 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
         n_total += float(n_valid)
         for k, v in counts.items():
             totals[k] = totals.get(k, 0.0) + float(v)
+    if jax.process_count() > 1:
+        # Multi-host: each process iterated only its data shard (Grain
+        # ShardByJaxProcess); sum counters across hosts — the reference's
+        # metric allreduce across DDP ranks (SURVEY.md §4.3).
+        from jax.experimental import multihost_utils
+
+        keys = sorted(totals)
+        local = np.asarray([n_total] + [totals[k] for k in keys], np.float64)
+        summed = np.asarray(
+            multihost_utils.process_allgather(local)
+        ).sum(axis=0)
+        n_total = float(summed[0])
+        totals = {k: float(summed[i + 1]) for i, k in enumerate(keys)}
     return {
         f"R@{n},IoU={m:g}": 100.0 * v / max(n_total, 1.0)
         for (n, m), v in sorted(totals.items())

@@ -162,7 +162,8 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
           init_from: Optional[str] = None, max_steps: Optional[int] = None,
           eval_fn=None) -> TrainState:
     """Full training run; returns final state (host-side orchestration only)."""
-    log = MetricLogger(f"train/{cfg.name}/stage{cfg.train.stage}")
+    log = MetricLogger(f"train/{cfg.name}/stage{cfg.train.stage}",
+                       tensorboard_dir=cfg.train.tensorboard_dir)
     dataset = make_dataset(cfg.data, cfg.model, split="train")
     batches = make_batch_iterator(
         dataset, cfg.data, shuffle=True, seed=cfg.train.seed
@@ -257,7 +258,14 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--model-axis", type=int, default=1,
                    help="TP axis size; data axis gets the rest")
+    p.add_argument("--tensorboard-dir", default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() from env "
+                        "(the torch.distributed.launch equivalent)")
     args = p.parse_args(argv)
+
+    if args.distributed:
+        jax.distributed.initialize()
 
     cfg = get_config(args.config)
     tr, da = {}, {}
@@ -269,6 +277,8 @@ def main(argv=None):
         tr["learning_rate"] = args.lr
     if args.checkpoint_dir is not None:
         tr["checkpoint_dir"] = args.checkpoint_dir
+    if args.tensorboard_dir is not None:
+        tr["tensorboard_dir"] = args.tensorboard_dir
     if args.batch_size is not None:
         da["batch_size"] = args.batch_size
     if args.feature_dir is not None:
