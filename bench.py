@@ -26,17 +26,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_tpu_qps(cfg, iters: int, warmup: int = 2) -> float:
-    import jax
+def make_bench_batch(cfg, seed: int = 0):
     import jax.numpy as jnp
-
-    from drn_tpu.evaluate import make_eval_step
-    from drn_tpu.train import build_model, init_state, make_optimizer
 
     b = cfg.eval.batch_size
     t, f, l = cfg.data.num_clips, cfg.model.feature_dim, cfg.data.max_query_len
-    rng = np.random.default_rng(0)
-    batch = {
+    rng = np.random.default_rng(seed)
+    return {
         "features": jnp.asarray(rng.normal(size=(b, t, f)), jnp.float32),
         "word_ids": jnp.asarray(
             rng.integers(2, cfg.model.vocab_size, (b, l)), jnp.int32
@@ -51,22 +47,56 @@ def measure_tpu_qps(cfg, iters: int, warmup: int = 2) -> float:
         "valid": jnp.ones((b,), bool),
     }
 
+
+def measure_tpu_qps(cfg, iters: int, warmup: int = 2) -> float:
+    """Device-side queries/sec via on-device step chaining.
+
+    The sandbox TPU sits behind a relay with ~30 ms RTT where
+    `block_until_ready` returns on dispatch-ack, not completion — naive
+    host-side loops measure dispatch rate, not compute. Instead we run K
+    data-dependent eval steps inside ONE jit (fori_loop; each iteration
+    perturbs the features with the previous iteration's result so XLA
+    cannot parallelize or elide them), force a scalar fetch, and difference
+    K=1 vs K=1+iters so the RTT and single-dispatch overhead cancel.
+    """
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from drn_tpu.evaluate import make_eval_step
+    from drn_tpu.train import build_model, init_state, make_optimizer
+
+    b = cfg.eval.batch_size
+    batch = make_bench_batch(cfg)
     model = build_model(cfg)
-    state = init_state(
-        cfg, model, make_optimizer(cfg, 1), jax.random.key(0)
-    )
+    state = init_state(cfg, model, make_optimizer(cfg, 1), jax.random.key(0))
     step = make_eval_step(cfg, model)
 
-    for _ in range(warmup):
-        out = step(state.params, batch)
-    jax.block_until_ready(out)
+    @partial(jax.jit, static_argnames="k")
+    def chained(params, batch, k):
+        def body(i, s):
+            b2 = dict(batch)
+            b2["features"] = batch["features"] + s * 0.0
+            counts, n_valid, segs, keep, scores = step(params, b2)
+            return jnp.float32(n_valid) + jnp.sum(scores) * 1e-6
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(state.params, batch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return b * iters / dt
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    def timed(k, reps=3):
+        for _ in range(warmup):
+            float(chained(state.params, batch, k))  # fetch forces completion
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(chained(state.params, batch, k))
+        return (time.perf_counter() - t0) / reps
+
+    t1 = timed(1)
+    t2 = timed(1 + iters)
+    per_step = max((t2 - t1) / iters, 1e-9)
+    log(f"per-eval-step device time: {per_step * 1e3:.3f} ms "
+        f"(k=1: {t1 * 1e3:.1f} ms incl. RTT)")
+    return b / per_step
 
 
 def main():

@@ -36,7 +36,13 @@ class ModelConfig:
     )
     dtype: str = "bfloat16"          # compute dtype for conv/matmul (MXU-friendly)
     param_dtype: str = "float32"
-    use_pallas_fusion: bool = True   # Pallas fused tile⊙mul+conv on TPU
+    # The Pallas fused tile⊙mul+conv kernel is numerically validated but
+    # measured SLOWER end-to-end than XLA's own fusion at the flagship
+    # shapes (3.65 vs 3.04 ms/eval-step, B=128 T=64 D=512 on v5e: the
+    # custom call is a fusion barrier, and XLA already folds the Hadamard
+    # + bias + LayerNorm + ReLU into the conv at the HBM roofline). Kept
+    # as an option for shapes where XLA schedules worse.
+    use_pallas_fusion: bool = False
 
     def __post_init__(self):
         assert len(self.level_ranges) == self.num_levels

@@ -23,35 +23,52 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fusion_kernel(v_ref, q_ref, w_ref, b_ref, o_ref):
-    t, d = v_ref.shape[1], v_ref.shape[2]
+    bb, t, d = v_ref.shape
     k = w_ref.shape[0]
-    x = v_ref[0] * q_ref[0]                      # (T, D) ⊙ (1, D) broadcast
-    xp = jnp.pad(x, ((k // 2, k // 2), (0, 0)))  # stays in VMEM
-    acc = jnp.zeros((t, d), jnp.float32)
+    x = v_ref[:] * q_ref[:]                      # (BB, T, D) ⊙ (BB, 1, D)
+    xp = jnp.pad(x, ((0, 0), (k // 2, k // 2), (0, 0)))  # stays in VMEM
+    acc = jnp.zeros((bb * t, d), jnp.float32)
     for i in range(k):                           # K static → unrolled matmuls
+        # One (BB·T, D) @ (D, D) per tap — M is large enough to fill the
+        # MXU (vs one small per-example matmul, which measured ~1.5x slower
+        # than XLA's conv at B=128, T=64, D=512).
         acc += jnp.dot(
-            xp[i : i + t], w_ref[i], preferred_element_type=jnp.float32
+            xp[:, i : i + t, :].reshape(bb * t, d),
+            w_ref[i],
+            preferred_element_type=jnp.float32,
         )
-    o_ref[0] = (acc + b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    acc += b_ref[:].astype(jnp.float32)
+    o_ref[:] = acc.reshape(bb, t, d).astype(o_ref.dtype)
+
+
+def _batch_block(bsz: int, t: int, d: int, itemsize: int) -> int:
+    """Largest batch block whose (BB, T, D) tile stays <= 1 MiB — big enough
+    to fill the MXU, small enough that double-buffered in/out tiles + the
+    fp32 accumulator + resident weights fit the ~16 MiB VMEM budget."""
+    for bb in (16, 8, 4, 2):
+        if bsz % bb == 0 and bb * t * d * itemsize <= 2 ** 20:
+            return bb
+    return 1
 
 
 def _forward(v, q, w, b, *, interpret: bool):
     bsz, t, d = v.shape
     k = w.shape[0]
+    bb = _batch_block(bsz, t, d, v.dtype.itemsize)
     return pl.pallas_call(
         _fusion_kernel,
-        grid=(bsz,),
+        grid=(bsz // bb,),
         in_specs=[
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             # q as (B, 1, D) so the block's last two dims (1, D) exactly
             # match the array dims (TPU lowering requires (8k, 128k) blocks
             # OR full-array dims; (1, D) over a (B, D) array is neither).
-            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (bb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, t, d), v.dtype),
         cost_estimate=pl.CostEstimate(
