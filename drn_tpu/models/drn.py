@@ -73,25 +73,23 @@ class DRN(nn.Module):
         ]
         pyramid = TemporalFPN(cfg, name="fpn")(fused)
 
+        # Heads run ONCE over all levels (flat, level-major) — see heads.py.
         d_start, d_end, match_logits = GroundingHeads(cfg, name="heads")(pyramid)
 
-        # Per-level decode for the IoU head (no gradient through sampling
+        # Flat decode for the IoU head (no gradient through sampling
         # positions — two-stage recipe, SURVEY.md §4.2).
-        locs = pyramid_locations(self.base_len, cfg.num_levels)
-        strides = [float(2 ** l) for l in range(cfg.num_levels)]
-        segments = [
-            jax.lax.stop_gradient(
-                decode_segments(locs[l], d_start[l], d_end[l], float(self.base_len))
-            )
-            for l in range(cfg.num_levels)
-        ]
-        iou_logits = IoUHead(cfg, name="iou_head")(pyramid, segments, strides)
+        locs, strides, level_ids = location_metadata(cfg, self.base_len)
+        segments = jax.lax.stop_gradient(
+            decode_segments(locs, d_start, d_end, float(self.base_len))
+        )
+        iou_logits = IoUHead(cfg, name="iou_head")(
+            pyramid, segments, level_ids, strides
+        )
 
-        flat = lambda xs: jnp.concatenate(xs, axis=1)
         return {
-            "d_start": flat(d_start),            # (B, N) base-grid units
-            "d_end": flat(d_end),                # (B, N)
-            "match_logits": flat(match_logits),  # (B, N)
-            "iou_logits": flat(iou_logits),      # (B, N)
-            "segments": flat(segments),          # (B, N, 2) base-grid units
+            "d_start": d_start,            # (B, N) base-grid units
+            "d_end": d_end,                # (B, N)
+            "match_logits": match_logits,  # (B, N)
+            "iou_logits": iou_logits,      # (B, N)
+            "segments": segments,          # (B, N, 2) base-grid units
         }

