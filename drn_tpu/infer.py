@@ -1,0 +1,117 @@
+"""Single-query inference CLI (BASELINE config 1: "single-query inference
+with reference checkpoint").
+
+    python -m drn_tpu.infer --config charades_c3d \
+        --checkpoint-dir /ckpt/charades_c3d/stage2 \
+        --features /data/c3d/VID123.npy --duration 31.2 \
+        --query "person opens the door"
+
+Accepts either a native Orbax checkpoint (--checkpoint-dir) or a PyTorch
+checkpoint in the parity schema (--torch-checkpoint, converted on the fly
+via drn_tpu.parity). Prints the top segments in seconds with scores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+
+def load_features(path: str, video_id: str = "") -> np.ndarray:
+    if path.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return np.asarray(f[video_id])
+    return np.load(path)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="drn_tpu single-query inference")
+    p.add_argument("--config", default="charades_c3d")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="Orbax checkpoint directory")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help=".pth in the parity schema (drn_tpu/parity)")
+    p.add_argument("--features", required=True,
+                   help="per-video .npy, or .h5 with --video-id")
+    p.add_argument("--video-id", default="")
+    p.add_argument("--query", required=True, action="append",
+                   help="sentence; repeat for multiple queries")
+    p.add_argument("--duration", type=float, default=0.0,
+                   help="video duration in seconds (default: #clips)")
+    p.add_argument("--glove-path", default=None)
+    p.add_argument("--top", type=int, default=5)
+    args = p.parse_args(argv)
+    if not args.checkpoint_dir and not args.torch_checkpoint:
+        p.error("one of --checkpoint-dir / --torch-checkpoint is required")
+
+    import jax
+
+    from drn_tpu.config import get_config
+    from drn_tpu.data.features import resample_features
+    from drn_tpu.data.vocab import Vocab, tokenize
+    from drn_tpu.evaluate import predict
+    from drn_tpu.train import build_model, init_state, make_optimizer
+
+    cfg = get_config(args.config)
+    if args.glove_path:
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, glove_path=args.glove_path)
+        )
+
+    raw = load_features(args.features, args.video_id)
+    feats = resample_features(raw, cfg.data.num_clips)
+    duration = args.duration if args.duration > 0 else float(raw.shape[0])
+
+    vocab = (Vocab.from_glove(cfg.data.glove_path, cfg.model.embed_dim)
+             if cfg.data.glove_path else Vocab.hashed(cfg.model.vocab_size))
+    ids, masks = zip(*(
+        vocab.encode(tokenize(q, cfg.data.lowercase), cfg.data.max_query_len)
+        for q in args.query
+    ))
+    n = len(args.query)
+
+    model = build_model(cfg)
+    if args.torch_checkpoint:
+        from drn_tpu.parity.convert import load_torch_checkpoint
+
+        params = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
+    else:
+        from drn_tpu.utils.checkpoint import CheckpointManager
+
+        state = init_state(cfg, model, make_optimizer(cfg, 1),
+                           jax.random.key(0))
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        restored = ckpt.restore({"params": state.params}, partial=True)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no checkpoint in {args.checkpoint_dir}")
+        params = restored["params"]
+
+    batch = {
+        "features": np.tile(feats[None], (n, 1, 1)),
+        "word_ids": np.stack(ids),
+        "query_mask": np.stack(masks),
+        "duration": np.full((n,), duration, np.float32),
+    }
+    segs_sec, keep, scores = predict(cfg, model, params, batch)
+
+    for qi, q in enumerate(args.query):
+        print(f"query: {q!r}")
+        shown = 0
+        for k in range(segs_sec.shape[1]):
+            if not keep[qi, k]:
+                continue
+            s, e = segs_sec[qi, k]
+            print(f"  {shown + 1}. [{s:7.2f}s, {e:7.2f}s]  "
+                  f"score={scores[qi, k]:.4f}")
+            shown += 1
+            if shown >= args.top:
+                break
+
+
+if __name__ == "__main__":
+    main()
