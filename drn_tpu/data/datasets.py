@@ -29,7 +29,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from drn_tpu.config import DataConfig, ModelConfig
-from drn_tpu.data.features import FeatureReader, resample_features
+from drn_tpu.data.features import FeatureReader
 from drn_tpu.data.vocab import Vocab, tokenize
 
 
@@ -59,9 +59,8 @@ class GroundingDataset:
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         ex = self.examples[i]
         cfg = self.cfg
-        raw = self.reader.read(ex.video_id)
-        feats = resample_features(raw, cfg.num_clips)
-        duration = ex.duration if ex.duration > 0 else float(raw.shape[0])
+        feats, t_raw = self.reader.read_resampled(ex.video_id, cfg.num_clips)
+        duration = ex.duration if ex.duration > 0 else float(t_raw)
         ids, mask = self.vocab.encode(
             tokenize(ex.sentence, cfg.lowercase), cfg.max_query_len
         )

@@ -61,3 +61,21 @@ class FeatureReader:
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         return np.load(path)
+
+    def read_resampled(self, video_id: str, num_clips: int
+                       ) -> tuple[np.ndarray, int]:
+        """→ ((num_clips, F) float32, raw clip count). For .npy files the
+        read+resample runs in one native pass (drn_tpu.native, mmap'd —
+        the raw array is never materialized); falls back to NumPy for HDF5
+        or when the toolchain/format is unsupported."""
+        if not self._is_h5:
+            path = os.path.join(self.feature_dir, f"{video_id}.npy")
+            if not os.path.exists(path):
+                raise FileNotFoundError(path)
+            from drn_tpu import native
+
+            res = native.read_resample(path, num_clips)
+            if res is not None:
+                return res
+        raw = self.read(video_id)
+        return resample_features(raw, num_clips), int(raw.shape[0])

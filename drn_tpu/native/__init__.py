@@ -1,0 +1,97 @@
+"""ctypes binding for the native feature reader (feature_reader.cpp).
+
+Builds the shared library with g++ on first import if missing (no
+pybind11 — plain C ABI). Falls back cleanly when a toolchain isn't
+available: `load()` returns None and callers use the NumPy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "feature_reader.cpp")
+_LIB = os.path.join(_DIR, "libfeature_reader.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _LIB, _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or (
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        lib.fr_read_resample.restype = ctypes.c_int
+        lib.fr_read_resample.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        lib.fr_num_rows.restype = ctypes.c_int64
+        lib.fr_num_rows.argtypes = [ctypes.c_char_p]
+        _lib = lib
+        return _lib
+
+
+def read_resample(path: str, num_clips: int, feature_dim_hint: int = 8192
+                  ) -> Optional[tuple]:
+    """Read + resample a 2-D .npy in one native pass.
+
+    Returns ((num_clips, F) float32, raw_row_count), or None if the native
+    path can't handle the file (missing, >hint cols, f8, fortran order…)."""
+    lib = load()
+    if lib is None:
+        return None
+    out = np.empty((num_clips, feature_dim_hint), np.float32)
+    cols = ctypes.c_int64(0)
+    rows = ctypes.c_int64(0)
+    rc = lib.fr_read_resample(
+        path.encode(), num_clips,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(cols), ctypes.byref(rows), feature_dim_hint,
+    )
+    if rc != 0:
+        return None
+    f = cols.value
+    # the C side writes out[i*F + c] contiguously (stride F, not the hint)
+    flat = out.reshape(-1)[: num_clips * f]
+    return flat.reshape(num_clips, f).copy(), rows.value
+
+
+def num_rows(path: str) -> Optional[int]:
+    lib = load()
+    if lib is None:
+        return None
+    r = lib.fr_num_rows(path.encode())
+    return None if r < 0 else int(r)
