@@ -24,7 +24,7 @@ from drn_tpu.data.pipeline import make_batch_iterator, make_dataset
 from drn_tpu.models import DRN
 from drn_tpu.ops.nms import temporal_nms
 from drn_tpu.ops.metrics import recall_at_n
-from drn_tpu.parallel import batch_sharding
+from drn_tpu.parallel import batch_sharding, feature_sharding
 from drn_tpu.utils.checkpoint import CheckpointManager
 from drn_tpu.utils.logging import MetricLogger
 
@@ -38,12 +38,13 @@ def make_eval_step(cfg: ExperimentConfig, model: DRN,
     e = cfg.eval
     base_len = float(cfg.data.num_clips)
     bsh = batch_sharding(mesh) if mesh is not None else None
+    fsh = feature_sharding(mesh) if mesh is not None else None
 
     @jax.jit
     def eval_step(params, batch):
         if bsh is not None:
             batch = jax.lax.with_sharding_constraint(
-                batch, {k: bsh for k in batch}
+                batch, {k: (fsh if k == "features" else bsh) for k in batch}
             )
         out = model.apply(
             params, batch["features"], batch["word_ids"], batch["query_mask"]

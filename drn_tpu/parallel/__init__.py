@@ -1,5 +1,6 @@
 from drn_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    feature_sharding,
     make_mesh,
     param_shardings,
     replicate,

@@ -22,18 +22,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, model_axis: int = 1) -> Mesh:
+def make_mesh(n_devices: int | None = None, model_axis: int = 1,
+              time_axis: int = 1) -> Mesh:
+    """("data", "model", "time") mesh.
+
+    data  — batch sharding (DP; the reference's DDP equivalent).
+    model — tensor parallelism over wide kernel output channels.
+    time  — sequence parallelism over the temporal clip axis (for long
+            grids, e.g. TACoS 512 clips); XLA's SPMD partitioner inserts
+            the halo exchanges the 1-D conv stencils need (SURVEY.md §6
+            "long-context" row).
+    """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % model_axis == 0, (n, model_axis)
-    arr = np.asarray(devices).reshape(n // model_axis, model_axis)
-    return Mesh(arr, ("data", "model"))
+    assert n % (model_axis * time_axis) == 0, (n, model_axis, time_axis)
+    arr = np.asarray(devices).reshape(
+        n // (model_axis * time_axis), model_axis, time_axis
+    )
+    return Mesh(arr, ("data", "model", "time"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim of every array in the batch dict."""
+    return NamedSharding(mesh, P("data"))
+
+
+def feature_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, T, F) features: batch over "data", clip axis over "time"."""
+    if mesh.shape.get("time", 1) > 1:
+        return NamedSharding(mesh, P("data", "time", None))
     return NamedSharding(mesh, P("data"))
 
 

@@ -31,7 +31,8 @@ from drn_tpu.data.pipeline import make_batch_iterator, make_dataset
 from drn_tpu.models import DRN
 from drn_tpu.models.drn import location_metadata
 from drn_tpu.models.losses import drn_loss
-from drn_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicate
+from drn_tpu.parallel import (batch_sharding, feature_sharding, make_mesh,
+                              param_shardings, replicate)
 from drn_tpu.utils.checkpoint import CheckpointManager
 from drn_tpu.utils.logging import MetricLogger
 
@@ -78,12 +79,13 @@ def make_train_step(cfg: ExperimentConfig, model: DRN, mesh: Optional[Mesh]):
     locs, _, level_ids = location_metadata(cfg.model, cfg.data.num_clips)
     base_len = cfg.data.num_clips
     bsh = batch_sharding(mesh) if mesh is not None else None
+    fsh = feature_sharding(mesh) if mesh is not None else None
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]
                 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         if bsh is not None:
             batch = jax.lax.with_sharding_constraint(
-                batch, {k: bsh for k in batch}
+                batch, {k: (fsh if k == "features" else bsh) for k in batch}
             )
 
         def loss_fn(params):
@@ -258,6 +260,8 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--model-axis", type=int, default=1,
                    help="TP axis size; data axis gets the rest")
+    p.add_argument("--time-axis", type=int, default=1,
+                   help="SP axis size: shard the clip axis (long grids)")
     p.add_argument("--tensorboard-dir", default=None)
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from env "
@@ -294,7 +298,8 @@ def main(argv=None):
     if da:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
 
-    mesh = make_mesh(model_axis=args.model_axis) if len(jax.devices()) > 1 else None
+    mesh = (make_mesh(model_axis=args.model_axis, time_axis=args.time_axis)
+            if len(jax.devices()) > 1 else None)
     train(cfg, mesh=mesh, init_from=args.init_from, max_steps=args.max_steps)
 
 

@@ -45,9 +45,11 @@ def _batch(cfg, b, seed=0):
 
 def test_mesh_shapes():
     mesh = make_mesh(8, model_axis=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "model": 2, "time": 1}
     mesh = make_mesh(8)
-    assert mesh.shape == {"data": 8, "model": 1}
+    assert mesh.shape == {"data": 8, "model": 1, "time": 1}
+    mesh = make_mesh(8, model_axis=2, time_axis=2)
+    assert mesh.shape == {"data": 2, "model": 2, "time": 2}
 
 
 def test_dp_matches_single_device():
