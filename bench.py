@@ -107,7 +107,41 @@ def main():
     p.add_argument("--skip-torch", action="store_true")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace of the timed loop")
+    p.add_argument("--inner", action="store_true",
+                   help="internal: run the measurement in-process")
+    p.add_argument("--attempt-timeout", type=int, default=480)
     args = p.parse_args()
+
+    if not args.inner:
+        # The sandbox's remote-compile service occasionally drops a request,
+        # leaving the process in an infinite futex wait; run the measurement
+        # in a child with a timeout and retry (identical retries succeed).
+        import subprocess
+
+        cmd = [sys.executable, __file__, "--inner",
+               "--iters", str(args.iters),
+               "--baseline-queries", str(args.baseline_queries),
+               "--attempt-timeout", str(args.attempt_timeout)]
+        if args.skip_torch:
+            cmd.append("--skip-torch")
+        if args.profile:
+            cmd += ["--profile", args.profile]
+        for attempt in range(3):
+            try:
+                r = subprocess.run(cmd, timeout=args.attempt_timeout,
+                                   capture_output=True, text=True)
+            except subprocess.TimeoutExpired:
+                log(f"attempt {attempt + 1} timed out "
+                    f"(likely dropped remote compile); retrying")
+                continue
+            sys.stderr.write(r.stderr)
+            line = next((ln for ln in r.stdout.splitlines()
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line:
+                print(line)
+                return
+            log(f"attempt {attempt + 1} failed (rc={r.returncode}); retrying")
+        sys.exit(1)
 
     from drn_tpu.config import get_config
 

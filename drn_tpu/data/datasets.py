@@ -129,12 +129,8 @@ _PARSERS = {
 }
 
 
-def load_dataset(cfg: DataConfig, mcfg: ModelConfig, vocab: Vocab,
-                 split: str = "train") -> GroundingDataset:
-    if cfg.dataset == "synthetic":
-        from drn_tpu.data.synthetic import SyntheticDataset
-
-        return SyntheticDataset(cfg, mcfg, split=split)
+def parse_examples(cfg: DataConfig, split: str = "train") -> List[Example]:
+    """Parse one split's annotation file into Examples."""
     parser = _PARSERS.get(cfg.dataset)
     if parser is None:
         raise KeyError(f"unknown dataset {cfg.dataset!r}")
@@ -147,6 +143,15 @@ def load_dataset(cfg: DataConfig, mcfg: ModelConfig, vocab: Vocab,
             f"annotation_path at the dataset release (use dataset='synthetic' "
             f"for the offline fixture)"
         )
-    examples = parser(ann)
+    return parser(ann)
+
+
+def load_dataset(cfg: DataConfig, mcfg: ModelConfig, vocab: Vocab,
+                 split: str = "train") -> GroundingDataset:
+    if cfg.dataset == "synthetic":
+        from drn_tpu.data.synthetic import SyntheticDataset
+
+        return SyntheticDataset(cfg, mcfg, split=split)
+    examples = parse_examples(cfg, split)
     return GroundingDataset(cfg, mcfg, vocab, examples,
                             FeatureReader(cfg.feature_dir))

@@ -19,14 +19,37 @@ from drn_tpu.data.vocab import Vocab
 from drn_tpu.data.datasets import load_dataset
 
 
+def build_vocab(cfg: DataConfig, mcfg: ModelConfig) -> Vocab:
+    """The run's single vocabulary, shared by every split and the model.
+
+    GloVe mode filters the table to the words appearing in the dataset's
+    annotations (all splits, so train/eval ids agree — the reference's
+    dataset-restricted torchtext vocab); offline fallback is the hashed
+    vocab. The returned vocab's `embeddings` must be passed to
+    `build_model` so the embedding table and the id space match.
+    """
+    if not cfg.glove_path:
+        return Vocab.hashed(mcfg.vocab_size)
+    if cfg.dataset == "synthetic":
+        return Vocab.from_glove(cfg.glove_path, mcfg.embed_dim)
+    from drn_tpu.data.datasets import parse_examples
+    from drn_tpu.data.vocab import tokenize
+
+    words = set()
+    for split in ("train", "test", "val"):
+        try:
+            for ex in parse_examples(cfg, split):
+                words.update(tokenize(ex.sentence, cfg.lowercase))
+        except (FileNotFoundError, KeyError, ValueError):
+            continue
+    return Vocab.from_glove(cfg.glove_path, mcfg.embed_dim,
+                            filter_words=words or None)
+
+
 def make_dataset(cfg: DataConfig, mcfg: ModelConfig, vocab: Optional[Vocab] = None,
                  split: str = "train"):
     if vocab is None:
-        vocab = (
-            Vocab.from_glove(cfg.glove_path, mcfg.embed_dim)
-            if cfg.glove_path
-            else Vocab.hashed(mcfg.vocab_size)
-        )
+        vocab = build_vocab(cfg, mcfg)
     return load_dataset(cfg, mcfg, vocab, split)
 
 

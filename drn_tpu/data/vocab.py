@@ -50,17 +50,26 @@ class Vocab:
 
     @classmethod
     def from_glove(cls, path: str, embed_dim: int = 300,
-                   max_words: int = 400_000) -> "Vocab":
+                   max_words: int = 400_000,
+                   filter_words: Optional[set] = None) -> "Vocab":
+        """Parse a GloVe text file. With `filter_words` (the dataset's
+        token set — reference behavior: vocab restricted to dataset words),
+        only those rows are kept, shrinking the embedding table from 400k
+        rows to a few thousand."""
         words, vecs = [], []
         with open(path, "r", encoding="utf-8") as f:
             for line in f:
                 parts = line.rstrip("\n").split(" ")
                 if len(parts) != embed_dim + 1:
                     continue  # malformed / header line
+                if filter_words is not None and parts[0] not in filter_words:
+                    continue
                 words.append(parts[0])
                 vecs.append(np.asarray(parts[1:], np.float32))
                 if len(words) >= max_words:
                     break
+        if not words:
+            raise ValueError(f"no usable GloVe rows in {path!r}")
         table = np.zeros((len(words) + _NUM_RESERVED, embed_dim), np.float32)
         table[_NUM_RESERVED:] = np.stack(vecs)
         table[UNK_ID] = table[_NUM_RESERVED:].mean(axis=0)

@@ -149,16 +149,21 @@ def main(argv=None):
     if da:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
 
+    from drn_tpu.data.pipeline import build_vocab
     from drn_tpu.train import build_model, init_state, make_optimizer
 
-    model = build_model(cfg)
+    vocab = build_vocab(cfg.data, cfg.model)
+    model = build_model(cfg, pretrained_embeddings=vocab.embeddings)
     state = init_state(cfg, model, make_optimizer(cfg, 1),
                        jax.random.key(0))
     ckpt = CheckpointManager(args.checkpoint_dir)
     restored = ckpt.restore({"params": state.params}, partial=True)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint in {args.checkpoint_dir}")
-    results = evaluate(cfg, model, restored["params"], split=args.split)
+    dataset = make_dataset(cfg.data, cfg.model, vocab=vocab,
+                           split=args.split)
+    results = evaluate(cfg, model, restored["params"], dataset=dataset,
+                       split=args.split)
     log = MetricLogger(f"eval/{cfg.name}")
     log.log(0, results)
     for k, v in results.items():

@@ -43,6 +43,10 @@ def main(argv=None):
     p.add_argument("--duration", type=float, default=0.0,
                    help="video duration in seconds (default: #clips)")
     p.add_argument("--glove-path", default=None)
+    p.add_argument("--annotation-path", default=None,
+                   help="needed in GloVe mode so the (dataset-filtered) "
+                        "vocab matches the one the checkpoint was trained "
+                        "with")
     p.add_argument("--top", type=int, default=5)
     args = p.parse_args(argv)
     if not args.checkpoint_dir and not args.torch_checkpoint:
@@ -52,29 +56,33 @@ def main(argv=None):
 
     from drn_tpu.config import get_config
     from drn_tpu.data.features import resample_features
-    from drn_tpu.data.vocab import Vocab, tokenize
+    from drn_tpu.data.vocab import tokenize
     from drn_tpu.evaluate import predict
     from drn_tpu.train import build_model, init_state, make_optimizer
 
     cfg = get_config(args.config)
+    da = {}
     if args.glove_path:
-        cfg = cfg.replace(
-            data=dataclasses.replace(cfg.data, glove_path=args.glove_path)
-        )
+        da["glove_path"] = args.glove_path
+    if args.annotation_path:
+        da["annotation_path"] = args.annotation_path
+    if da:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
 
     raw = load_features(args.features, args.video_id)
     feats = resample_features(raw, cfg.data.num_clips)
     duration = args.duration if args.duration > 0 else float(raw.shape[0])
 
-    vocab = (Vocab.from_glove(cfg.data.glove_path, cfg.model.embed_dim)
-             if cfg.data.glove_path else Vocab.hashed(cfg.model.vocab_size))
+    from drn_tpu.data.pipeline import build_vocab
+
+    vocab = build_vocab(cfg.data, cfg.model)
     ids, masks = zip(*(
         vocab.encode(tokenize(q, cfg.data.lowercase), cfg.data.max_query_len)
         for q in args.query
     ))
     n = len(args.query)
 
-    model = build_model(cfg)
+    model = build_model(cfg, pretrained_embeddings=vocab.embeddings)
     if args.torch_checkpoint:
         from drn_tpu.parity.convert import load_torch_checkpoint
 

@@ -27,7 +27,7 @@ from flax.training import train_state
 from jax.sharding import Mesh
 
 from drn_tpu.config import ExperimentConfig, get_config
-from drn_tpu.data.pipeline import make_batch_iterator, make_dataset
+from drn_tpu.data.pipeline import build_vocab, make_batch_iterator, make_dataset
 from drn_tpu.models import DRN
 from drn_tpu.models.drn import location_metadata
 from drn_tpu.models.losses import drn_loss
@@ -58,8 +58,16 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
 
 def build_model(cfg: ExperimentConfig,
                 pretrained_embeddings: Optional[np.ndarray] = None) -> DRN:
+    mcfg = cfg.model
+    if (pretrained_embeddings is not None
+            and mcfg.vocab_size != pretrained_embeddings.shape[0]):
+        # GloVe mode: the table size follows the (filtered) vocab, so the
+        # model's id space matches the dataset encoder's.
+        mcfg = dataclasses.replace(
+            mcfg, vocab_size=pretrained_embeddings.shape[0]
+        )
     return DRN(
-        cfg.model,
+        mcfg,
         base_len=cfg.data.num_clips,
         pretrained_embeddings=pretrained_embeddings,
         freeze_embeddings=pretrained_embeddings is not None,
@@ -140,12 +148,13 @@ def put_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]):
 
 
 def _default_eval_fn(cfg: ExperimentConfig, model: DRN,
-                     mesh: Optional[Mesh]):
+                     mesh: Optional[Mesh], vocab=None):
     """Periodic val-split R@n,IoU@m during training (SURVEY.md §4.1
     '(periodic) evaluate()'). Returns None when the split isn't available
-    (e.g. annotation files absent in CI)."""
+    (e.g. annotation files absent in CI). `vocab` must be the training
+    vocab so word ids match the embedding table."""
     try:
-        dataset = make_dataset(cfg.data, cfg.model, split="test")
+        dataset = make_dataset(cfg.data, cfg.model, vocab=vocab, split="test")
     except (FileNotFoundError, KeyError, ValueError):
         return None
     from drn_tpu.evaluate import evaluate
@@ -166,13 +175,14 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
     """Full training run; returns final state (host-side orchestration only)."""
     log = MetricLogger(f"train/{cfg.name}/stage{cfg.train.stage}",
                        tensorboard_dir=cfg.train.tensorboard_dir)
-    dataset = make_dataset(cfg.data, cfg.model, split="train")
+    vocab = build_vocab(cfg.data, cfg.model)
+    dataset = make_dataset(cfg.data, cfg.model, vocab=vocab, split="train")
     batches = make_batch_iterator(
         dataset, cfg.data, shuffle=True, seed=cfg.train.seed
     )
     steps_per_epoch = len(batches)
 
-    model = build_model(cfg)
+    model = build_model(cfg, pretrained_embeddings=vocab.embeddings)
     tx = make_optimizer(cfg, steps_per_epoch)
     state = init_state(cfg, model, tx, jax.random.key(cfg.train.seed))
 
@@ -203,7 +213,7 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
     train_step = make_train_step(cfg, model, mesh)
 
     if eval_fn is None:
-        eval_fn = _default_eval_fn(cfg, model, mesh)
+        eval_fn = _default_eval_fn(cfg, model, mesh, vocab=vocab)
 
     step = int(state.step)
     done = False
