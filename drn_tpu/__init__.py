@@ -1,23 +1,18 @@
-"""drn_tpu — a TPU-native JAX framework for temporal sentence grounding in video.
+"""drn_tpu — a TPU-native JAX framework for temporal sentence grounding
+in video, with the capabilities of Alvin-Zeng/DRN (CVPR 2020).
 
-Re-implements the capabilities of the DRN reference (Alvin-Zeng/DRN, CVPR 2020
-"Dense Regression Network for Video Grounding") as an idiomatic JAX/XLA/Pallas
-stack: dense anchor-free 1D regression over a multi-scale temporal feature
-pyramid with cross-modal query-video fusion, compiled under `jit`, with
-on-device proposal decoding + temporal NMS and mesh-based data parallelism.
+Public API:
 
-Reference provenance: the reference mount was empty at build time (see
-SURVEY.md §0); architecture follows the CVPR 2020 paper and SURVEY.md.
+    from drn_tpu import get_config, list_configs
+    from drn_tpu.train import train, build_model
+    from drn_tpu.evaluate import evaluate, predict
+    from drn_tpu.models import DRN
+
+CLIs: `python -m drn_tpu.train`, `python -m drn_tpu.evaluate`,
+`python -m drn_tpu.infer`. See README.md.
 """
 
-__version__ = "0.1.0"
+from drn_tpu.config import (ExperimentConfig, get_config,  # noqa: F401
+                            list_configs)
 
-from drn_tpu.config import (  # noqa: F401
-    DataConfig,
-    EvalConfig,
-    ExperimentConfig,
-    ModelConfig,
-    TrainConfig,
-    get_config,
-    list_configs,
-)
+__version__ = "0.1.0"

@@ -77,6 +77,10 @@ class TrainConfig:
     lr_decay_epochs: Tuple[int, ...] = (20,)
     lr_decay_rate: float = 0.1
     stage: int = 1                   # 1 = grounding heads, 2 = +IoU head
+    # Stage-2 variant (SURVEY.md §4.2, medium confidence on the reference's
+    # freezing details): True trains ONLY the IoU head from the stage-1
+    # init; False (default) fine-tunes everything jointly.
+    stage2_iou_only: bool = False
     match_loss_weight: float = 1.0
     reg_loss_weight: float = 1.0
     iou_loss_weight: float = 1.0

@@ -53,6 +53,21 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
         if t.weight_decay > 0
         else optax.adam(sched),
     )
+    if t.stage >= 2 and t.stage2_iou_only:
+        # Freeze everything but the IoU head (stage-2-only training).
+        # multi_transform + set_to_zero (optax.masked would pass raw
+        # gradients through as updates for the unmasked leaves).
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "train" if any(
+                    getattr(p, "key", None) == "iou_head" for p in path
+                ) else "freeze",
+                params,
+            )
+
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, labels
+        )
     return opt
 
 
@@ -256,6 +271,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="drn_tpu trainer")
     p.add_argument("--config", default="charades_c3d")
     p.add_argument("--stage", type=int, default=None)
+    p.add_argument("--stage2-iou-only", action="store_true",
+                   help="stage 2: train only the IoU head (freeze the rest)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
@@ -285,6 +302,8 @@ def main(argv=None):
     tr, da = {}, {}
     if args.stage is not None:
         tr["stage"] = args.stage
+    if args.stage2_iou_only:
+        tr["stage2_iou_only"] = True
     if args.epochs is not None:
         tr["num_epochs"] = args.epochs
     if args.lr is not None:

@@ -82,3 +82,31 @@ def test_eval_mesh_equivalence():
     assert r_single.keys() == r_mesh.keys()
     for k in r_single:
         np.testing.assert_allclose(r_single[k], r_mesh[k], atol=1e-6), k
+
+
+def test_stage2_iou_only_freezes_grounding(tmp_path):
+    """With stage2_iou_only, only iou_head params change in a step."""
+    import jax.numpy as jnp
+
+    from drn_tpu.train import make_train_step
+
+    cfg = _tiny_cfg(tmp_path, stage=2, stage2_iou_only=True)
+    ds = make_dataset(cfg.data, cfg.model)
+    batch = next(BatchIterator(ds, cfg.data.batch_size).epoch(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = build_model(cfg)
+    state = init_state(cfg, model, make_optimizer(cfg, 8), jax.random.key(0))
+    before = jax.device_get(state.params)
+    new_state, _ = make_train_step(cfg, model, mesh=None)(state, jb)
+    after = jax.device_get(new_state.params)
+
+    changed = {
+        top: any(
+            not np.allclose(a, b)
+            for a, b in zip(jax.tree_util.tree_leaves(before["params"][top]),
+                            jax.tree_util.tree_leaves(after["params"][top]))
+        )
+        for top in before["params"]
+    }
+    assert changed["iou_head"]
+    assert not any(v for k, v in changed.items() if k != "iou_head"), changed
