@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -101,16 +102,21 @@ def measure_tpu_qps(cfg, iters: int, warmup: int = 2) -> float:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--iters", type=int, default=30)
-    p.add_argument("--baseline-queries", type=int, default=48,
+    p.add_argument("--iters", type=int, default=24)
+    p.add_argument("--baseline-queries", type=int, default=32,
                    help="queries for the torch-CPU measurement")
     p.add_argument("--skip-torch", action="store_true")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace of the timed loop")
     p.add_argument("--inner", action="store_true",
                    help="internal: run the measurement in-process")
-    p.add_argument("--attempt-timeout", type=int, default=480)
+    p.add_argument("--attempt-timeout", type=int, default=540)
     args = p.parse_args()
+
+    # Persistent jit cache: retry attempts (and future runs) skip the
+    # multi-minute tunnel compile entirely.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/drn_tpu_jit_cache")
 
     if not args.inner:
         # The sandbox's remote-compile service occasionally drops a request,
