@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -115,9 +115,17 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
     }
 
 
+_PREDICT_STEP_CACHE: Dict[int, Any] = {}
+
+
 def predict(cfg: ExperimentConfig, model: DRN, params, batch):
-    """User-facing inference: top segments in SECONDS + scores, post-NMS."""
-    step = make_eval_step(cfg, model)
+    """User-facing inference: top segments in SECONDS + scores, post-NMS.
+    The compiled step is memoized per (config, model) so repeated calls
+    don't re-trace."""
+    key = (id(model), cfg.name, cfg.eval)
+    step = _PREDICT_STEP_CACHE.get(key)
+    if step is None:
+        step = _PREDICT_STEP_CACHE.setdefault(key, make_eval_step(cfg, model))
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     if "gt_grid" not in jb:  # inference without labels
         b = jb["features"].shape[0]
@@ -140,6 +148,9 @@ def main(argv=None):
     p.add_argument("--annotation-path", default=None)
     args = p.parse_args(argv)
 
+    from drn_tpu.utils import enable_jit_cache
+
+    enable_jit_cache()
     cfg = get_config(args.config)
     da = {}
     if args.feature_dir:

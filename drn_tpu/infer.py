@@ -54,6 +54,9 @@ def main(argv=None):
 
     import jax
 
+    from drn_tpu.utils import enable_jit_cache
+
+    enable_jit_cache()
     from drn_tpu.config import get_config
     from drn_tpu.data.features import resample_features
     from drn_tpu.data.vocab import tokenize

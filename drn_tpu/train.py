@@ -295,6 +295,9 @@ def main(argv=None):
                         "(the torch.distributed.launch equivalent)")
     args = p.parse_args(argv)
 
+    from drn_tpu.utils import enable_jit_cache
+
+    enable_jit_cache()
     if args.distributed:
         jax.distributed.initialize()
 
