@@ -58,6 +58,11 @@ class DataConfig:
     annotation_path: str = ""        # charades_sta_{split}.txt or dataset JSON
     glove_path: str = ""             # optional GloVe .txt; hashed fallback if empty
     num_clips: int = 64              # fixed temporal grid T after sampling
+    # Feature rows per second of video. Used ONLY when the annotation
+    # format carries no duration (Charades-STA): duration ≈ rows/fps.
+    # tIoU/recall are scale-invariant, but segment outputs in seconds are
+    # off by this factor if it doesn't match the feature extraction rate.
+    feature_fps: float = 1.0
     max_query_len: int = 20          # queries padded/truncated to this
     lowercase: bool = True
     batch_size: int = 32

@@ -60,7 +60,10 @@ class GroundingDataset:
         ex = self.examples[i]
         cfg = self.cfg
         feats, t_raw = self.reader.read_resampled(ex.video_id, cfg.num_clips)
-        duration = ex.duration if ex.duration > 0 else float(t_raw)
+        # Charades-STA annotations carry no duration; estimate from the
+        # feature row count and the configured extraction rate.
+        duration = (ex.duration if ex.duration > 0
+                    else float(t_raw) / cfg.feature_fps)
         ids, mask = self.vocab.encode(
             tokenize(ex.sentence, cfg.lowercase), cfg.max_query_len
         )

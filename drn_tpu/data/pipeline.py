@@ -89,9 +89,16 @@ class GrainBatchIterator:
         self.worker_count = worker_count
 
     def __len__(self):
-        return -(-len(self.dataset) // self.batch_size)
+        import jax
+
+        # each process sees only its ShardByJaxProcess record shard
+        local = -(-len(self.dataset) // jax.process_count())
+        return -(-local // self.batch_size)
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        # NOTE: a fresh DataLoader (and worker pool) per epoch keeps the
+        # per-epoch reshuffle + resume-replay semantics simple; the pool
+        # restart costs seconds against minutes of epoch time.
         import grain.python as gp
 
         sampler = gp.IndexSampler(

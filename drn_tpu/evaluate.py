@@ -29,6 +29,25 @@ from drn_tpu.utils.checkpoint import CheckpointManager
 from drn_tpu.utils.logging import MetricLogger
 
 
+_EVAL_STEP_CACHE: Dict[Any, Any] = {}
+
+
+def get_eval_step(cfg: ExperimentConfig, model: DRN,
+                  mesh: Optional[Mesh] = None):
+    """Memoized make_eval_step: jit caches by function identity, so a fresh
+    closure per call would re-trace (and possibly re-compile) the whole
+    model — e.g. once per epoch for the in-training eval."""
+    key = (id(model), cfg.name, cfg.eval, id(mesh))
+    step = _EVAL_STEP_CACHE.get(key)
+    if step is None:
+        if len(_EVAL_STEP_CACHE) > 16:  # bound: drop stale closures
+            _EVAL_STEP_CACHE.clear()
+        step = _EVAL_STEP_CACHE.setdefault(
+            key, make_eval_step(cfg, model, mesh)
+        )
+    return step
+
+
 def make_eval_step(cfg: ExperimentConfig, model: DRN,
                    mesh: Optional[Mesh] = None):
     """Jitted eval step; with `mesh`, batches are DP-sharded over the "data"
@@ -82,7 +101,7 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
         dataclasses.replace(cfg.data, batch_size=cfg.eval.batch_size),
         shuffle=False, seed=0,
     )
-    step = make_eval_step(cfg, model, mesh)
+    step = get_eval_step(cfg, model, mesh)
     bsh = batch_sharding(mesh) if mesh is not None else None
     totals: Dict[Tuple[int, float], float] = {}
     n_total = 0.0
@@ -115,17 +134,11 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
     }
 
 
-_PREDICT_STEP_CACHE: Dict[int, Any] = {}
-
-
 def predict(cfg: ExperimentConfig, model: DRN, params, batch):
     """User-facing inference: top segments in SECONDS + scores, post-NMS.
     The compiled step is memoized per (config, model) so repeated calls
     don't re-trace."""
-    key = (id(model), cfg.name, cfg.eval)
-    step = _PREDICT_STEP_CACHE.get(key)
-    if step is None:
-        step = _PREDICT_STEP_CACHE.setdefault(key, make_eval_step(cfg, model))
+    step = get_eval_step(cfg, model)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     if "gt_grid" not in jb:  # inference without labels
         b = jb["features"].shape[0]

@@ -41,7 +41,10 @@ def main(argv=None):
     p.add_argument("--query", required=True, action="append",
                    help="sentence; repeat for multiple queries")
     p.add_argument("--duration", type=float, default=0.0,
-                   help="video duration in seconds (default: #clips)")
+                   help="video duration in seconds (default: raw feature "
+                        "rows / --feature-fps)")
+    p.add_argument("--feature-fps", type=float, default=None,
+                   help="feature rows per second (duration fallback)")
     p.add_argument("--glove-path", default=None)
     p.add_argument("--annotation-path", default=None,
                    help="needed in GloVe mode so the (dataset-filtered) "
@@ -69,12 +72,15 @@ def main(argv=None):
         da["glove_path"] = args.glove_path
     if args.annotation_path:
         da["annotation_path"] = args.annotation_path
+    if args.feature_fps:
+        da["feature_fps"] = args.feature_fps
     if da:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
 
     raw = load_features(args.features, args.video_id)
     feats = resample_features(raw, cfg.data.num_clips)
-    duration = args.duration if args.duration > 0 else float(raw.shape[0])
+    duration = (args.duration if args.duration > 0
+                else float(raw.shape[0]) / cfg.data.feature_fps)
 
     from drn_tpu.data.pipeline import build_vocab
 

@@ -35,22 +35,21 @@ from drn_tpu.config import ModelConfig
 from drn_tpu.models.layers import ConvBlock, cdt, linear_time_sample
 
 
-def _gap_layout(sizes: Sequence[int]):
-    """Static layout of the gap-padded concatenation: per-level offsets,
-    total padded length, and the flat indices of real (non-gap) columns."""
-    offsets, idx = [], []
-    off = 0
+def _gap_layout(sizes: Sequence[int]) -> np.ndarray:
+    """Flat indices of the real (non-gap) columns in the gap-padded
+    concatenation (one shared zero column between consecutive levels)."""
+    idx, off = [], 0
     for i, t in enumerate(sizes):
-        offsets.append(off)
         idx.append(np.arange(off, off + t))
-        off += t + (1 if i + 1 < len(sizes) else 0)  # one shared zero column
-    return offsets, off, np.concatenate(idx)
+        off += t + (1 if i + 1 < len(sizes) else 0)
+    return np.concatenate(idx)
 
 
-def _gap_concat(levels: List[jnp.ndarray], total: int,
-                offsets: Sequence[int]) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Concatenate (B, T_l, D) levels into (B, total, D) with zero gaps.
-    Returns the tensor and the (1, total, 1) validity mask."""
+def _gap_concat(levels: List[jnp.ndarray]
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate (B, T_l, D) levels along time with one zero gap column
+    between consecutive levels. Returns the tensor and the (1, total, 1)
+    validity mask (layout matches `_gap_layout`)."""
     b, _, d = levels[0].shape
     parts, mask_parts = [], []
     for i, lvl in enumerate(levels):
@@ -92,10 +91,11 @@ class GroundingHeads(nn.Module):
         self, pyramid: List[jnp.ndarray]
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
-        assert cfg.fusion_kernel_size == 3 or True  # towers are k=3
+        # The single shared zero gap column supports conv receptive radius
+        # 1 only — the towers' kernels are fixed at width 3 (in _Tower).
         sizes = [p.shape[1] for p in pyramid]
-        offsets, total, valid_idx = _gap_layout(sizes)
-        x, mask = _gap_concat(pyramid, total, offsets)
+        valid_idx = _gap_layout(sizes)
+        x, mask = _gap_concat(pyramid)
 
         raw_loc = _Tower(cfg, 2, name="loc")(x, mask).astype(jnp.float32)
         raw_match = _Tower(cfg, 1, name="match")(x, mask).astype(jnp.float32)

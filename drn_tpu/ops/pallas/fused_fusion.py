@@ -54,6 +54,9 @@ def _batch_block(bsz: int, t: int, d: int, itemsize: int) -> int:
 def _forward(v, q, w, b, *, interpret: bool):
     bsz, t, d = v.shape
     k = w.shape[0]
+    # Symmetric (k//2, k//2) padding here and the VJP's conv-transpose
+    # match XLA 'SAME' only for odd widths.
+    assert k % 2 == 1, f"fused_fusion requires odd kernel width, got {k}"
     bb = _batch_block(bsz, t, d, v.dtype.itemsize)
     return pl.pallas_call(
         _fusion_kernel,

@@ -230,25 +230,29 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
     if eval_fn is None:
         eval_fn = _default_eval_fn(cfg, model, mesh, vocab=vocab)
 
-    step = int(state.step)
+    start_step = int(state.step)  # >0 when resumed from a checkpoint
+    step = 0
     done = False
     for epoch in range(cfg.train.num_epochs):
         if done:
             break
         for batch in batches.epoch(epoch):
-            if step < int(state.step):  # resumed past this batch
-                step += 1
+            if step < start_step:  # resumed past this batch: replay the
+                step += 1         # data order without training
                 continue
             state, metrics = train_step(state, put_batch(batch, mesh))
             step += 1
             if step % cfg.train.log_every_steps == 0 or step == 1:
                 log.log(step, {"epoch": epoch, **jax.device_get(metrics)})
-            ckpt.save(
-                step,
-                {"params": jax.device_get(state.params),
-                 "opt_state": jax.device_get(state.opt_state),
-                 "step": step},
-            )
+            # device_get only when Orbax will actually persist this step —
+            # a per-step full-state fetch would host-sync every iteration.
+            if ckpt.should_save(step):
+                ckpt.save(
+                    step,
+                    {"params": jax.device_get(state.params),
+                     "opt_state": jax.device_get(state.opt_state),
+                     "step": step},
+                )
             if max_steps is not None and step >= max_steps:
                 done = True
                 break

@@ -27,6 +27,14 @@ class CheckpointManager:
             ),
         )
 
+    def should_save(self, step: int) -> bool:
+        """True iff a save() at this step would persist (interval hit and
+        step not already on disk) — lets callers skip the device→host
+        state fetch otherwise."""
+        return step not in self._mgr.all_steps() and self._mgr.should_save(
+            step
+        )
+
     def save(self, step: int, state: Any, force: bool = False) -> bool:
         if step in self._mgr.all_steps():
             return False  # already persisted (e.g. final save after loop)

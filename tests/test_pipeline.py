@@ -110,3 +110,19 @@ def test_stage2_iou_only_freezes_grounding(tmp_path):
     }
     assert changed["iou_head"]
     assert not any(v for k, v in changed.items() if k != "iou_head"), changed
+
+
+def test_resume_reproduces_continuous_run(tmp_path):
+    """2 steps + resume + 2 steps must equal one 4-step run exactly
+    (regression: the resume skip previously re-trained from batch 0)."""
+    cfg_a = _tiny_cfg(tmp_path / "a", stage=1)
+    s_cont = train(cfg_a, max_steps=4)
+
+    cfg_b = _tiny_cfg(tmp_path / "b", stage=1)
+    train(cfg_b, max_steps=2)
+    s_resumed = train(cfg_b, max_steps=4)
+
+    la = jax.tree_util.tree_leaves(jax.device_get(s_cont.params))
+    lb = jax.tree_util.tree_leaves(jax.device_get(s_resumed.params))
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
