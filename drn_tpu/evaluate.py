@@ -103,18 +103,24 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
     )
     step = get_eval_step(cfg, model, mesh)
     bsh = batch_sharding(mesh) if mesh is not None else None
-    totals: Dict[Tuple[int, float], float] = {}
-    n_total = 0.0
+    # Accumulate count scalars ON DEVICE and fetch once at the end — a
+    # per-batch device_get would host-sync every batch (30 ms RTT on
+    # relay-attached TPUs dominates the 3 ms step).
+    totals_dev: Optional[Dict[Tuple[int, float], jnp.ndarray]] = None
+    n_total_dev = None
     for batch in batches.epoch(0):
         if bsh is None:
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
         else:
             jb = {k: jax.device_put(v, bsh) for k, v in batch.items()}
         counts, n_valid, *_ = step(params, jb)
-        counts = jax.device_get(counts)
-        n_total += float(n_valid)
-        for k, v in counts.items():
-            totals[k] = totals.get(k, 0.0) + float(v)
+        if totals_dev is None:
+            totals_dev, n_total_dev = counts, n_valid
+        else:
+            totals_dev = {k: totals_dev[k] + v for k, v in counts.items()}
+            n_total_dev = n_total_dev + n_valid
+    totals = {k: float(v) for k, v in jax.device_get(totals_dev or {}).items()}
+    n_total = float(n_total_dev) if n_total_dev is not None else 0.0
     if jax.process_count() > 1:
         # Multi-host: each process iterated only its data shard (Grain
         # ShardByJaxProcess); sum counters across hosts — the reference's
