@@ -102,6 +102,7 @@ def measure_tpu_qps(cfg, iters: int, warmup: int = 2) -> float:
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--config", default="charades_c3d_batched_eval")
     p.add_argument("--iters", type=int, default=24)
     p.add_argument("--baseline-queries", type=int, default=32,
                    help="queries for the torch-CPU measurement")
@@ -125,6 +126,7 @@ def main():
         import subprocess
 
         cmd = [sys.executable, __file__, "--inner",
+               "--config", args.config,
                "--iters", str(args.iters),
                "--baseline-queries", str(args.baseline_queries),
                "--attempt-timeout", str(args.attempt_timeout)]
@@ -151,7 +153,7 @@ def main():
 
     from drn_tpu.config import get_config
 
-    cfg = get_config("charades_c3d_batched_eval")
+    cfg = get_config(args.config)
 
     import jax
 
@@ -185,8 +187,11 @@ def main():
         except Exception as e:  # torch baseline is best-effort
             log(f"torch baseline failed: {e!r}")
 
+    metric_name = ("charades_sta_grounding_queries_per_sec_per_chip"
+                   if args.config == "charades_c3d_batched_eval"
+                   else f"{args.config}_grounding_queries_per_sec_per_chip")
     print(json.dumps({
-        "metric": "charades_sta_grounding_queries_per_sec_per_chip",
+        "metric": metric_name,
         "value": round(qps, 2),
         "unit": "queries/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
