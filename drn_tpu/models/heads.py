@@ -110,7 +110,15 @@ class GroundingHeads(nn.Module):
         scale_vec = jnp.concatenate(scales)               # (N,)
         stride_vec = jnp.asarray(np.concatenate(strides))  # (N,)
 
-        d = jnp.exp(scale_vec[None, :, None] * raw_loc) * stride_vec[None, :, None]
+        # Soft-capped exponent: exp(C·tanh(z/C)) ≈ exp(z) near 0 but bounds
+        # d to e^±C·stride with a gradient that never dies. A hard exp
+        # explodes within a few Adam steps (sign-like updates move z by
+        # ~|x|·lr·fan_in per step at width 512), after which decode clipping
+        # zeroes every regression gradient permanently — observed as
+        # reg_loss frozen from step 2 at the flagship config.
+        c = 8.0
+        z = scale_vec[None, :, None] * raw_loc
+        d = jnp.exp(c * jnp.tanh(z / c)) * stride_vec[None, :, None]
         return d[..., 0], d[..., 1], match_logits
 
 

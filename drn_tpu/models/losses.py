@@ -87,9 +87,12 @@ def drn_loss(
     pos = assign_targets(cfg, locations, level_ids, gt, base_len) & vrow
     num_pos = jnp.maximum(jnp.sum(pos), 1.0)
 
-    # Regression: -log tIoU on positives.
+    # Regression: -log tIoU on positives, on UNCLIPPED segments (see
+    # decode_segments: clipping would zero the gradient exactly when the
+    # regression overshoots the grid).
     segs = decode_segments(
-        locations, outputs["d_start"], outputs["d_end"], float(base_len)
+        locations, outputs["d_start"], outputs["d_end"], float(base_len),
+        clip=False,
     )
     iou = temporal_iou(segs, gt[:, None, :])  # (B, N)
     reg_loss = jnp.sum(-jnp.log(jnp.clip(iou, 1e-6, 1.0)) * pos) / num_pos

@@ -48,14 +48,22 @@ def decode_segments(
     d_start: jnp.ndarray,
     d_end: jnp.ndarray,
     max_len: float,
+    clip: bool = True,
 ) -> jnp.ndarray:
-    """Dense decode: segment = (loc - d_start, loc + d_end), clipped to grid.
+    """Dense decode: segment = (loc - d_start, loc + d_end).
 
     locations: (T,) base-grid coords; d_start/d_end: (..., T) nonneg distances
-    in base-grid units. Returns (..., T, 2).
+    in base-grid units. Returns (..., T, 2). `clip=True` bounds the segment
+    to the grid (inference); the training loss uses clip=False so an
+    oversized segment still feels a gradient toward shrinking (a clipped
+    segment's tIoU is constant in d — gradients die exactly when the
+    prediction is worst).
     """
-    start = jnp.clip(locations - d_start, 0.0, max_len)
-    end = jnp.clip(locations + d_end, 0.0, max_len)
+    start = locations - d_start
+    end = locations + d_end
+    if clip:
+        start = jnp.clip(start, 0.0, max_len)
+        end = jnp.clip(end, 0.0, max_len)
     end = jnp.maximum(end, start)  # guarantee non-degenerate ordering
     return jnp.stack([start, end], axis=-1)
 

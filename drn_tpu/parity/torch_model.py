@@ -195,7 +195,8 @@ class TorchDRNParity(nn.Module):
             for blk in self.loc_tower:
                 lt = blk(lt)
             raw = same_pad_conv(lt, self.loc_out, 1)
-            dists = torch.exp(self.scales[l] * raw) * stride
+            c = 8.0  # soft-capped exponent — mirrors flax heads.py
+            dists = torch.exp(c * torch.tanh(self.scales[l] * raw / c)) * stride
             mt = feat
             for blk in self.match_tower:
                 mt = blk(mt)

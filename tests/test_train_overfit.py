@@ -60,3 +60,41 @@ def test_overfit_synthetic():
         total += float(n_valid)
     assert total == 16
     assert hits / total >= 0.8, f"R@1 IoU=0.5 = {hits/total:.2f} after overfit"
+
+
+@pytest.mark.slow
+def test_regression_learns_at_flagship_width():
+    """Regression gradients must stay alive at production width.
+
+    Regression guard: with a hard exp() parameterization, Adam's sign-like
+    steps moved the pre-exp logit by ~lr*fan_in per step at width 512,
+    exploding distances within 2 steps; decode clipping then zeroed every
+    regression gradient permanently (reg_loss frozen at ~1.08, R@1 stuck
+    at 25% on the synthetic overfit). The soft-capped exponent + unclipped
+    loss decode keep it learning.
+    """
+    import jax.numpy as jnp
+
+    cfg = get_config("charades_c3d")  # full hidden width 512
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, feature_dim=1024),
+        data=dataclasses.replace(cfg.data, dataset="synthetic",
+                                 num_clips=32, batch_size=4),
+        train=dataclasses.replace(cfg.train, stage=2),
+    )
+    from drn_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(cfg.data, cfg.model, num_examples=4)
+    batch = next(BatchIterator(ds, 4, shuffle=False).epoch(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model = build_model(cfg)
+    state = init_state(cfg, model, make_optimizer(cfg, 100), jax.random.key(0))
+    step = make_train_step(cfg, model, mesh=None)
+    history = []
+    for _ in range(30):
+        state, m = step(state, jb)
+        history.append(float(m["mean_pos_iou"]))
+    # must keep improving long after the step-2 freeze point
+    assert history[-1] > history[2] + 0.1, history[::5]
+    assert history[-1] > 0.45, history[-1]
