@@ -84,13 +84,17 @@ def measure_tpu_qps(cfg, iters: int, warmup: int = 2) -> float:
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
-    def timed(k, reps=3):
+    def timed(k, reps=5):
+        # median of per-rep times: robust to relay-RTT jitter spikes
         for _ in range(warmup):
             float(chained(state.params, batch, k))  # fetch forces completion
-        t0 = time.perf_counter()
+        samples = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             float(chained(state.params, batch, k))
-        return (time.perf_counter() - t0) / reps
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        return samples[len(samples) // 2]
 
     t1 = timed(1)
     t2 = timed(1 + iters)
