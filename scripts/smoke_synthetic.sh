@@ -1,6 +1,8 @@
 #!/usr/bin/env bash
 # Offline end-to-end smoke: two-stage training + eval on the synthetic
 # fixture — runs anywhere (CPU or TPU), no dataset downloads.
+# NOTE: each python process pays one jit compile; on a relay-attached TPU
+# that's ~2-3 min per stage (~8-10 min total). Compute itself is seconds.
 set -euo pipefail
 CKPT=$(mktemp -d)
 
