@@ -38,9 +38,17 @@ def make_mesh(n_devices: int | None = None, model_axis: int = 1,
         devices = devices[:n_devices]
     n = len(devices)
     assert n % (model_axis * time_axis) == 0, (n, model_axis, time_axis)
-    arr = np.asarray(devices).reshape(
-        n // (model_axis * time_axis), model_axis, time_axis
-    )
+    shape = (n // (model_axis * time_axis), model_axis, time_axis)
+    if devices and devices[0].platform == "tpu" and n > 1:
+        # Real slice: lay the mesh out along the ICI topology so the
+        # inner ("model","time") axes — which carry the chattiest
+        # collectives — land on physically adjacent chips
+        # (SURVEY.md §3.2 ICI/DCN).
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh(shape, devices=devices)
+    else:
+        arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, ("data", "model", "time"))
 
 
