@@ -27,10 +27,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_bench_batch(cfg, seed: int = 0):
+def make_bench_batch(cfg, seed: int = 0, batch_size: int | None = None):
     import jax.numpy as jnp
 
-    b = cfg.eval.batch_size
+    b = batch_size or cfg.eval.batch_size
     t, f, l = cfg.data.num_clips, cfg.model.feature_dim, cfg.data.max_query_len
     rng = np.random.default_rng(seed)
     return {
@@ -80,37 +80,154 @@ def measure_tpu_qps(cfg, iters: int, warmup: int = 2) -> float:
             b2 = dict(batch)
             b2["features"] = batch["features"] + s * 0.0
             counts, n_valid, segs, keep, scores = step(params, b2)
-            return jnp.float32(n_valid) + jnp.sum(scores) * 1e-6
+            # Consume EVERY output — anything not folded into the carried
+            # scalar is dead code and XLA prunes it from the timed graph
+            # (the NMS + recall-count stages are exactly what that would
+            # silently drop, inflating qps vs the serial-NMS baseline).
+            consumed = (
+                jnp.float32(n_valid)
+                + 1e-6 * jnp.sum(scores)
+                + 1e-9 * (jnp.sum(segs) + jnp.sum(keep.astype(jnp.float32)))
+                + 1e-9 * sum(jnp.float32(v) for v in counts.values())
+            )
+            return jax.lax.optimization_barrier(consumed)
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
-    def timed(k, reps=5):
-        # median of per-rep times: robust to relay-RTT jitter spikes
+    per_step, t1 = _chained_time(
+        lambda k: float(chained(state.params, batch, k)), iters, warmup
+    )
+    flops = _step_flops(step, (state.params, batch))
+    mfu = flops / per_step / _PEAK_FLOPS if flops else None
+    log(f"per-eval-step device time: {per_step * 1e3:.3f} ms "
+        f"(k=1: {t1 * 1e3:.1f} ms incl. RTT)"
+        + (f", {flops / 1e9:.2f} GF/step, eval MFU {mfu * 100:.1f}%"
+           if mfu else ""))
+    return b / per_step, mfu
+
+
+# TPU v5e (v5 lite) peak: 197 TF/s bf16 / 394 TOP/s int8. The chained-jit
+# calibration matmul (memory: 4096^3 bf16) delivered ~193 TF/s, confirming
+# the chip + method; MFU is reported against the 197 TF/s paper peak.
+_PEAK_FLOPS = 197e12
+
+
+def _chained_time(run_k, iters: int, warmup: int = 2, reps: int = 5):
+    """Median-of-reps K-chained timing; returns (per_step_s, t_k1_s)."""
+
+    def timed(k):
         for _ in range(warmup):
-            float(chained(state.params, batch, k))  # fetch forces completion
+            run_k(k)  # scalar fetch inside run_k forces completion
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(chained(state.params, batch, k))
+            run_k(k)
             samples.append(time.perf_counter() - t0)
         samples.sort()
         return samples[len(samples) // 2]
 
     t1 = timed(1)
     t2 = timed(1 + iters)
-    per_step = max((t2 - t1) / iters, 1e-9)
-    log(f"per-eval-step device time: {per_step * 1e3:.3f} ms "
-        f"(k=1: {t1 * 1e3:.1f} ms incl. RTT)")
-    return b / per_step
+    return max((t2 - t1) / iters, 1e-9), t1
+
+
+def _step_flops(jitted, args) -> float | None:
+    """XLA's FLOP estimate for one RAW (un-chained) step.
+
+    Must be the raw step, not the K-chained loop: cost_analysis does not
+    scale with `fori_loop` trip count, so chained graphs report the body
+    roughly once regardless of K (and with the last iteration's dead code
+    eliminated). Estimate only — scan/loop bodies inside the step (LSTM)
+    may be undercounted, so true MFU is >= the reported value."""
+    try:
+        lowered = jitted.lower(*args)
+        try:
+            ca = lowered.cost_analysis()  # client-side, no backend compile
+        except Exception:
+            ca = lowered.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # cost analysis is best-effort on some backends
+        log(f"cost_analysis unavailable: {e!r}")
+        return None
+
+
+def measure_train_qps(cfg, iters: int, warmup: int = 2):
+    """Training-step throughput (fwd + bwd + Adam) via the same chained-K
+    method; returns (examples/s, mfu). SURVEY.md §4.5: forward/backward
+    dominates training — this is the number that predicts wall-clock."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from drn_tpu.models.drn import location_metadata
+    from drn_tpu.models.losses import drn_loss
+    from drn_tpu.train import build_model, init_state, make_optimizer
+
+    batch = make_bench_batch(cfg, batch_size=cfg.data.batch_size)
+    model = build_model(cfg)
+    state = init_state(cfg, model, make_optimizer(cfg, 1), jax.random.key(0))
+    locs, _, level_ids = location_metadata(cfg.model, cfg.data.num_clips)
+    base_len = cfg.data.num_clips
+
+    def one_step(state, b2):
+        def loss_fn(params):
+            out = model.apply(
+                params, b2["features"], b2["word_ids"], b2["query_mask"]
+            )
+            return drn_loss(
+                cfg.model, cfg.train, out, locs, level_ids,
+                b2["gt_grid"], base_len, b2["valid"],
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return state.apply_gradients(grads=grads), metrics
+
+    @partial(jax.jit, static_argnames="k")
+    def chained(state, batch, k):
+        def body(i, carry):
+            state, s = carry
+            b2 = dict(batch)
+            b2["features"] = batch["features"] + s * 0.0
+            state, metrics = one_step(state, b2)
+            return state, jax.lax.optimization_barrier(
+                jnp.float32(metrics["loss"])
+            )
+
+        # Carrying `state` makes every update live: step i's loss depends
+        # on step i-1's applied gradients. (The final apply_gradients is
+        # dead in both K graphs, so it cancels in the K-difference.)
+        _, s = jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))
+        return s
+
+    per_step, t1 = _chained_time(
+        lambda k: float(chained(state, batch, k)), iters, warmup
+    )
+    flops = _step_flops(jax.jit(one_step), (state, batch))
+    mfu = flops / per_step / _PEAK_FLOPS if flops else None
+    b = batch["features"].shape[0]
+    log(f"per-train-step device time: {per_step * 1e3:.3f} ms @B={b} "
+        f"(k=1: {t1 * 1e3:.1f} ms incl. RTT)"
+        + (f", {flops / 1e9:.2f} GF/step, train MFU {mfu * 100:.1f}%"
+           if mfu else ""))
+    return b / per_step, mfu
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="charades_c3d_batched_eval")
     p.add_argument("--iters", type=int, default=24)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="override eval+train batch size (B-sweep)")
     p.add_argument("--baseline-queries", type=int, default=32,
                    help="queries for the torch-CPU measurement")
     p.add_argument("--skip-torch", action="store_true")
+    p.add_argument("--skip-train", action="store_true",
+                   help="skip the training-step throughput measurement")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace of the timed loop")
     p.add_argument("--inner", action="store_true",
@@ -134,8 +251,12 @@ def main():
                "--iters", str(args.iters),
                "--baseline-queries", str(args.baseline_queries),
                "--attempt-timeout", str(args.attempt_timeout)]
+        if args.batch_size:
+            cmd += ["--batch-size", str(args.batch_size)]
         if args.skip_torch:
             cmd.append("--skip-torch")
+        if args.skip_train:
+            cmd.append("--skip-train")
         if args.profile:
             cmd += ["--profile", args.profile]
         for attempt in range(3):
@@ -158,6 +279,13 @@ def main():
     from drn_tpu.config import get_config
 
     cfg = get_config(args.config)
+    if args.batch_size:
+        import dataclasses
+
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, batch_size=args.batch_size),
+            eval=dataclasses.replace(cfg.eval, batch_size=args.batch_size),
+        )
 
     import jax
 
@@ -166,11 +294,21 @@ def main():
         from drn_tpu.utils.profiling import trace
 
         with trace(args.profile):
-            qps = measure_tpu_qps(cfg, iters=args.iters)
+            qps, mfu = measure_tpu_qps(cfg, iters=args.iters)
         log(f"profiler trace written to {args.profile}")
     else:
-        qps = measure_tpu_qps(cfg, iters=args.iters)
+        qps, mfu = measure_tpu_qps(cfg, iters=args.iters)
     log(f"tpu queries/sec: {qps:.1f}")
+
+    train_qps = train_mfu = None
+    if not args.skip_train:
+        try:
+            train_qps, train_mfu = measure_train_qps(
+                cfg, iters=max(args.iters // 2, 4)
+            )
+            log(f"tpu train examples/sec: {train_qps:.1f}")
+        except Exception as e:  # train timing is additional, not the metric
+            log(f"train-step measurement failed: {e!r}")
 
     vs_baseline = None
     if not args.skip_torch:
@@ -199,6 +337,9 @@ def main():
         "value": round(qps, 2),
         "unit": "queries/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "mfu": round(mfu, 4) if mfu else None,
+        "train_examples_per_sec": round(train_qps, 2) if train_qps else None,
+        "train_mfu": round(train_mfu, 4) if train_mfu else None,
     }))
 
 

@@ -64,6 +64,9 @@ class DataConfig:
     # off by this factor if it doesn't match the feature extraction rate.
     feature_fps: float = 1.0
     max_query_len: int = 20          # queries padded/truncated to this
+    # Split used for in-training periodic eval. "" → try "val", then fall
+    # back to "test" (Charades-STA has no val split; ActivityNet does).
+    val_split: str = ""
     lowercase: bool = True
     batch_size: int = 32
     num_workers: int = 0             # >0 → Grain worker processes for IO

@@ -95,10 +95,15 @@ class GrainBatchIterator:
         local = -(-len(self.dataset) // jax.process_count())
         return -(-local // self.batch_size)
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch_idx: int = 0, skip_batches: int = 0
+              ) -> Iterator[Dict[str, np.ndarray]]:
         # NOTE: a fresh DataLoader (and worker pool) per epoch keeps the
         # per-epoch reshuffle + resume-replay semantics simple; the pool
         # restart costs seconds against minutes of epoch time.
+        # `skip_batches` (mid-epoch resume) consumes-and-discards: Grain's
+        # shuffle order lives in its samplers, so the reads can't be
+        # skipped by index arithmetic here — but the caller skips FULL
+        # epochs arithmetically, so at most one partial epoch replays.
         import grain.python as gp
 
         sampler = gp.IndexSampler(
@@ -114,7 +119,9 @@ class GrainBatchIterator:
             operations=[gp.Batch(self.batch_size, drop_remainder=False)],
             worker_count=self.worker_count,
         )
-        for batch in loader:
+        for i, batch in enumerate(loader):
+            if i < skip_batches:
+                continue
             yield _pad_batch_rows(batch, self.batch_size)
 
 
@@ -143,14 +150,17 @@ class BatchIterator:
         b = self.batch_size
         return n // b if self.drop_remainder else -(-n // b)
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch_idx: int = 0, skip_batches: int = 0
+              ) -> Iterator[Dict[str, np.ndarray]]:
+        """`skip_batches` resumes mid-epoch WITHOUT materializing the
+        skipped batches (pure index arithmetic — no feature reads)."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             np.random.default_rng(self.seed + epoch_idx).shuffle(idx)
         b = self.batch_size
         stop = (n // b) * b if self.drop_remainder else n
-        for off in range(0, stop, b):
+        for off in range(skip_batches * b, stop, b):
             take = idx[off : off + b]
             rows = [self.dataset[int(i)] for i in take]
             pad = b - len(rows)

@@ -24,7 +24,8 @@ from drn_tpu.data.pipeline import make_batch_iterator, make_dataset
 from drn_tpu.models import DRN
 from drn_tpu.ops.nms import temporal_nms
 from drn_tpu.ops.metrics import recall_at_n
-from drn_tpu.parallel import batch_sharding, feature_sharding
+from drn_tpu.parallel import (batch_sharding, feature_sharding,
+                              mesh_process_count)
 from drn_tpu.utils.checkpoint import CheckpointManager
 from drn_tpu.utils.logging import MetricLogger
 
@@ -36,15 +37,21 @@ def get_eval_step(cfg: ExperimentConfig, model: DRN,
                   mesh: Optional[Mesh] = None):
     """Memoized make_eval_step: jit caches by function identity, so a fresh
     closure per call would re-trace (and possibly re-compile) the whole
-    model — e.g. once per epoch for the in-training eval."""
-    key = (id(model), cfg.name, cfg.eval, id(mesh))
-    step = _EVAL_STEP_CACHE.get(key)
-    if step is None:
-        if len(_EVAL_STEP_CACHE) > 16:  # bound: drop stale closures
-            _EVAL_STEP_CACHE.clear()
-        step = _EVAL_STEP_CACHE.setdefault(
-            key, make_eval_step(cfg, model, mesh)
-        )
+    model — e.g. once per epoch for the in-training eval.
+
+    Keyed by id(model) but guarded by a weakref: a recycled id after GC
+    (CPython reuses addresses) can't silently hand back a step compiled
+    for a dead model. Mesh participates by value (Mesh is hashable)."""
+    import weakref
+
+    key = (id(model), cfg.name, cfg.eval, mesh)
+    ent = _EVAL_STEP_CACHE.get(key)
+    if ent is not None and ent[1]() is model:
+        return ent[0]
+    if len(_EVAL_STEP_CACHE) > 16:  # bound: drop stale closures
+        _EVAL_STEP_CACHE.clear()
+    step = make_eval_step(cfg, model, mesh)
+    _EVAL_STEP_CACHE[key] = (step, weakref.ref(model))
     return step
 
 
@@ -90,6 +97,65 @@ def make_eval_step(cfg: ExperimentConfig, model: DRN,
     return eval_step
 
 
+def _device_batches(batches, bsh, multiproc: bool):
+    """Yield device-ready batches from a host iterator.
+
+    Single-process: plain device_put (or host arrays without a mesh).
+    Multi-process mesh (SPMD): every process must join each collective, so
+    all processes run the SAME number of steps (`len(batches)` is computed
+    from the GLOBAL dataset size on every process) and each contributes its
+    local rows of the global batch via make_array_from_process_local_data —
+    `jax.device_put(local, global_sharding)` would wrongly treat one host's
+    local batch as the whole global array.
+
+      * Grain iterators are already process-sharded (ShardByJaxProcess):
+        the local batch IS this process's slice; global batch = B × P.
+      * The in-process BatchIterator yields identical full batches on every
+        process (same seed, shuffle=False for eval): each process keeps
+        only its own row block, so the global batch is each batch exactly
+        once.
+      * A process whose shard exhausts early (Grain shards can differ by
+        one record) feeds all-invalid padding batches to stay in lockstep.
+    """
+    if not multiproc:
+        for batch in batches.epoch(0):
+            if bsh is None:
+                yield {k: jnp.asarray(v) for k, v in batch.items()}
+            else:
+                yield {k: jax.device_put(v, bsh) for k, v in batch.items()}
+        return
+
+    from drn_tpu.data.pipeline import GrainBatchIterator
+
+    presharded = isinstance(batches, GrainBatchIterator)
+    pi, np_ = jax.process_index(), jax.process_count()
+    it = iter(batches.epoch(0))
+    template = None
+    for _ in range(len(batches)):
+        local = next(it, None)
+        if local is None:
+            assert template is not None, (
+                "process shard is empty; dataset smaller than process count"
+            )
+            local = {k: np.zeros_like(v) for k, v in template.items()}
+            local["valid"] = np.zeros_like(template["valid"])
+            local["gt_grid"] = np.broadcast_to(
+                np.asarray([0.0, 1.0], np.float32), template["gt_grid"].shape
+            ).copy()
+            local["query_mask"] = np.zeros_like(template["query_mask"])
+            local["query_mask"][:, 0] = True
+        if not presharded:
+            b = local["valid"].shape[0]
+            assert b % np_ == 0, (b, np_)
+            lo = (b // np_) * pi
+            local = {k: v[lo:lo + b // np_] for k, v in local.items()}
+        template = local
+        yield {
+            k: jax.make_array_from_process_local_data(bsh, np.asarray(v))
+            for k, v in local.items()
+        }
+
+
 def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
              split: str = "test", mesh: Optional[Mesh] = None
              ) -> Dict[str, float]:
@@ -103,16 +169,13 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
     )
     step = get_eval_step(cfg, model, mesh)
     bsh = batch_sharding(mesh) if mesh is not None else None
+    multiproc = mesh is not None and mesh_process_count(mesh) > 1
     # Accumulate count scalars ON DEVICE and fetch once at the end — a
     # per-batch device_get would host-sync every batch (30 ms RTT on
     # relay-attached TPUs dominates the 3 ms step).
     totals_dev: Optional[Dict[Tuple[int, float], jnp.ndarray]] = None
     n_total_dev = None
-    for batch in batches.epoch(0):
-        if bsh is None:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        else:
-            jb = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    for jb in _device_batches(batches, bsh, multiproc):
         counts, n_valid, *_ = step(params, jb)
         if totals_dev is None:
             totals_dev, n_total_dev = counts, n_valid
@@ -121,10 +184,13 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
             n_total_dev = n_total_dev + n_valid
     totals = {k: float(v) for k, v in jax.device_get(totals_dev or {}).items()}
     n_total = float(n_total_dev) if n_total_dev is not None else 0.0
-    if jax.process_count() > 1:
-        # Multi-host: each process iterated only its data shard (Grain
-        # ShardByJaxProcess); sum counters across hosts — the reference's
-        # metric allreduce across DDP ranks (SURVEY.md §4.3).
+    if jax.process_count() > 1 and not multiproc:
+        # Per-process eval (no global mesh): each process evaluated its own
+        # data shard on its own devices; sum counters across hosts — the
+        # reference's metric allreduce across DDP ranks (SURVEY.md §4.3).
+        # (With a multi-process mesh the counts are ALREADY global: the
+        # eval step reduces over the whole "data" axis, so a second
+        # allgather-sum would multiply them by process_count.)
         from jax.experimental import multihost_utils
 
         keys = sorted(totals)

@@ -24,15 +24,41 @@ _tried = False
 
 
 def _build() -> bool:
+    """Compile to a temp file and os.rename() it into place.
+
+    Multiple processes (e.g. Grain workers) can race through first-use
+    build: the rename is atomic, so a reader never CDLLs a half-written
+    .so, and an fcntl lock serializes concurrent compiles (last writer
+    wins harmlessly — identical output)."""
+    tmp = f"{_LIB}.build.{os.getpid()}"
+    lock_path = f"{_LIB}.lock"
     try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _LIB, _SRC],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except (OSError, subprocess.SubprocessError):
+        import fcntl
+
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                # another process may have finished while we waited
+                if (os.path.exists(_LIB)
+                        and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+                    return True
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", tmp, _SRC],
+                    check=True, capture_output=True, timeout=120,
+                )
+                os.rename(tmp, _LIB)
+                return True
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+    except (OSError, subprocess.SubprocessError, ImportError):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def load() -> Optional[ctypes.CDLL]:

@@ -68,6 +68,11 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_process_count(mesh: Mesh) -> int:
+    """Number of distinct host processes contributing devices to the mesh."""
+    return len({d.process_index for d in mesh.devices.flat})
+
+
 def _param_spec(path_str: str, leaf: Any, model_size: int,
                 min_width: int) -> P:
     """Tensor-parallel rule: shard output channels of wide kernels.

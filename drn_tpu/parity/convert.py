@@ -131,7 +131,10 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Dict[str, Any]:
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
-    sd = obj.get("model", obj) if isinstance(obj, dict) and not hasattr(
-        next(iter(obj.values())), "shape"
-    ) else obj
+    # Unwrap explicitly: a wrapper checkpoint has a dict under "model"
+    # (heuristics over the first value misfire on e.g. {"best_score":
+    # tensor, "model": {...}} and raise on empty dicts).
+    sd = (obj["model"]
+          if isinstance(obj, dict) and isinstance(obj.get("model"), dict)
+          else obj)
     return torch_state_to_flax(sd, cfg)

@@ -32,7 +32,7 @@ from drn_tpu.models import DRN
 from drn_tpu.models.drn import location_metadata
 from drn_tpu.models.losses import drn_loss
 from drn_tpu.parallel import (batch_sharding, feature_sharding, make_mesh,
-                              param_shardings, replicate)
+                              mesh_process_count, param_shardings, replicate)
 from drn_tpu.utils.checkpoint import CheckpointManager
 from drn_tpu.utils.logging import MetricLogger
 
@@ -159,18 +159,38 @@ def put_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]):
     if mesh is None:
         return {k: jnp.asarray(v) for k, v in batch.items()}
     bsh = batch_sharding(mesh)
+    if mesh_process_count(mesh) > 1:
+        # SPMD across hosts: this process's batch is its slice of the
+        # global batch (Grain ShardByJaxProcess, or pre-sliced by the
+        # caller); device_put with a global sharding would wrongly treat
+        # the local rows as the whole global array.
+        return {
+            k: jax.make_array_from_process_local_data(bsh, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, bsh) for k, v in batch.items()}
 
 
 def _default_eval_fn(cfg: ExperimentConfig, model: DRN,
                      mesh: Optional[Mesh], vocab=None):
     """Periodic val-split R@n,IoU@m during training (SURVEY.md §4.1
-    '(periodic) evaluate()'). Returns None when the split isn't available
+    '(periodic) evaluate()'). Prefers the val split — evaluating on test
+    during training would leak the test set into model selection — and
+    falls back to test only when no val annotations exist (Charades-STA
+    ships only train/test). Returns None when no split is available
     (e.g. annotation files absent in CI). `vocab` must be the training
     vocab so word ids match the embedding table."""
-    try:
-        dataset = make_dataset(cfg.data, cfg.model, vocab=vocab, split="test")
-    except (FileNotFoundError, KeyError, ValueError):
+    splits = ([cfg.data.val_split] if cfg.data.val_split
+              else ["val", "test"])
+    dataset = None
+    for split in splits:
+        try:
+            dataset = make_dataset(cfg.data, cfg.model, vocab=vocab,
+                                   split=split)
+            break
+        except (FileNotFoundError, KeyError, ValueError):
+            continue
+    if dataset is None:
         return None
     from drn_tpu.evaluate import evaluate
 
@@ -233,13 +253,30 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
     start_step = int(state.step)  # >0 when resumed from a checkpoint
     step = 0
     done = False
+    multiproc = mesh is not None and mesh_process_count(mesh) > 1
+    from drn_tpu.data.pipeline import GrainBatchIterator
+
+    presharded = isinstance(batches, GrainBatchIterator)
+    pi, n_proc = jax.process_index(), jax.process_count()
     for epoch in range(cfg.train.num_epochs):
         if done:
             break
-        for batch in batches.epoch(epoch):
-            if step < start_step:  # resumed past this batch: replay the
-                step += 1         # data order without training
-                continue
+        if steps_per_epoch and (epoch + 1) * steps_per_epoch <= start_step:
+            # Epoch fully covered by the restored checkpoint: skip it by
+            # arithmetic — no feature reads, no batch materialization.
+            step = (epoch + 1) * steps_per_epoch
+            continue
+        skip = max(start_step - step, 0)  # mid-epoch resume point
+        step += skip
+        for batch in batches.epoch(epoch, skip_batches=skip):
+            if multiproc and not presharded:
+                # The in-process iterator yields identical global batches
+                # on every process; keep only this process's row block
+                # (put_batch assembles them back into the global array).
+                b = batch["valid"].shape[0]
+                assert b % n_proc == 0, (b, n_proc)
+                lo = (b // n_proc) * pi
+                batch = {k: v[lo:lo + b // n_proc] for k, v in batch.items()}
             state, metrics = train_step(state, put_batch(batch, mesh))
             step += 1
             if step % cfg.train.log_every_steps == 0 or step == 1:

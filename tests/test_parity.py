@@ -36,6 +36,64 @@ def test_torch_flax_output_parity(fp32_cfg):
         assert v < 1e-4, f"{k}: max abs diff {v}"
 
 
+def test_end_to_end_ranked_output_parity(fp32_cfg):
+    """The WHOLE inference path — decode → score → top-k → NMS → recall —
+    matches the reference's serial NumPy semantics, not just the network:
+    the torch twin's raw outputs pushed through the NumPy oracle must yield
+    the same ranked segments, survival mask, and R@n,IoU@m counts as the
+    flax jitted eval step (SURVEY.md §4.3; VERDICT r1 missing #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from drn_tpu.evaluate import make_eval_step
+    from drn_tpu.parity.convert import torch_state_to_flax
+    from drn_tpu.parity.oracle import reference_postprocess
+    from drn_tpu.parity.torch_model import TorchDRNParity
+    from drn_tpu.train import build_model
+
+    cfg = fp32_cfg
+    ds = make_dataset(cfg.data, cfg.model, split="train")
+    batch = next(BatchIterator(ds, 8, shuffle=False).epoch(0))
+
+    torch.manual_seed(0)
+    tm = TorchDRNParity(cfg.model, base_len=cfg.data.num_clips).eval()
+    with torch.no_grad():
+        t_out = tm(
+            torch.from_numpy(batch["features"]),
+            torch.from_numpy(batch["word_ids"].astype(np.int64)),
+            torch.from_numpy(batch["query_mask"]),
+        )
+    oracle = reference_postprocess(
+        {k: np.asarray(t_out[k])
+         for k in ("segments", "match_logits", "iou_logits")},
+        gt=batch["gt_grid"], valid=batch["valid"],
+        top_k=cfg.eval.top_k,
+        nms_iou_threshold=cfg.eval.nms_iou_threshold,
+        score_use_iou_head=cfg.eval.score_use_iou_head,
+        ns=cfg.eval.recall_ns, iou_thresholds=cfg.eval.iou_thresholds,
+    )
+
+    params = torch_state_to_flax(tm.state_dict(), cfg.model)
+    model = build_model(cfg)
+    step = make_eval_step(cfg, model)
+    counts, n_valid, segs_sec, keep, scores = jax.device_get(
+        step(params, {k: jnp.asarray(v) for k, v in batch.items()})
+    )
+
+    # identical survival mask and candidate ordering
+    np.testing.assert_array_equal(keep, oracle["keep"])
+    np.testing.assert_allclose(scores, oracle["scores"], atol=1e-5)
+    # eval step returns segments scaled to seconds; undo for comparison
+    scale = (batch["duration"] / cfg.data.num_clips)[:, None, None]
+    np.testing.assert_allclose(
+        segs_sec / scale, oracle["sorted_segments"], atol=1e-3
+    )
+    # identical recall counts, key by key
+    assert float(n_valid) == float(np.sum(batch["valid"]))
+    for k, v in oracle["counts"].items():
+        assert float(counts[k]) == v, (k, float(counts[k]), v)
+
+
 def test_checkpoint_file_roundtrip(fp32_cfg, tmp_path):
     """torch.save → load_torch_checkpoint matches in-memory conversion."""
     import jax
