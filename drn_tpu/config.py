@@ -165,13 +165,15 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         data=dict(dataset="charades", feature_type="i3d", num_clips=64),
     ),
     # 2) Charades-STA batched multi-query eval (on-device NMS, bigger
-    # batches). Batch 256 measured best on v5e: 52.7k q/s vs 45k at 128
-    # and 38.5k at 512 (HBM pressure).
+    # batches). Batch sweep on v5e with the FULL step timed (NMS + recall
+    # counts consumed — earlier 52.7k@256 was measured on a graph where
+    # XLA had pruned the NMS/recall stages): 39.7k@128, 41.5k@256,
+    # 42.8k@384 (best), 39.1k@512 (HBM pressure).
     "charades_c3d_batched_eval": _cfg(
         "charades_c3d_batched_eval",
         model=dict(feature_dim=4096),
-        data=dict(dataset="charades", feature_type="c3d", num_clips=64, batch_size=256),
-        eval=dict(batch_size=256),
+        data=dict(dataset="charades", feature_type="c3d", num_clips=64, batch_size=384),
+        eval=dict(batch_size=384),
     ),
     # 3) ActivityNet-Captions: longer videos, deeper pyramid, I3D features.
     "activitynet_i3d": _cfg(

@@ -1,0 +1,89 @@
+"""End-to-end CLI tests: `drn_tpu.train main()` → checkpoint →
+`drn_tpu.evaluate main()` — the full user-facing flag path (SURVEY.md §2
+L6; VERDICT r1 weak #9: no test drove the entrypoints' arg parsing).
+
+Uses a real Charades-STA-format annotation file + .npy feature dir built
+in tmp_path, so this also covers the annotation→features→train→eval wiring
+on disk, not just the synthetic in-memory fixture.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def charades_fixture(tmp_path_factory):
+    """Tiny on-disk Charades-STA-format dataset (verbatim line format)."""
+    root = tmp_path_factory.mktemp("charades")
+    feat_dir = root / "feats"
+    feat_dir.mkdir()
+    rng = np.random.default_rng(0)
+    lines = {"train": [], "test": []}
+    for v in range(6):
+        vid = f"VID{v:02d}"
+        rows = int(rng.integers(40, 90))
+        np.save(feat_dir / f"{vid}.npy",
+                rng.normal(size=(rows, 32)).astype(np.float32))
+        dur = rows / 2.0  # feature_fps=2.0 below
+        for split in ("train", "test"):
+            s = float(rng.uniform(0, dur * 0.6))
+            e = float(rng.uniform(s + 1.0, dur))
+            lines[split].append(
+                f"{vid} {s:.1f} {e:.1f}##person does activity {v}."
+            )
+    for split, ls in lines.items():
+        (root / f"charades_sta_{split}.txt").write_text(
+            "\n".join(ls) + "\n", encoding="utf-8"
+        )
+    return root, feat_dir
+
+
+@pytest.mark.slow
+def test_train_then_evaluate_cli(charades_fixture, tmp_path, capsys):
+    root, feat_dir = charades_fixture
+    ckpt_dir = tmp_path / "ckpt"
+
+    from drn_tpu import evaluate, train
+
+    # tiny model via synthetic_tiny dims, but REAL charades-format data;
+    # CLI overrides exercise the full argparse surface.
+    import dataclasses
+
+    from drn_tpu import config as config_mod
+
+    tiny = config_mod.get_config("synthetic_tiny")
+    patched = tiny.replace(
+        name="charades_cli_test",
+        model=dataclasses.replace(tiny.model, feature_dim=32),
+        data=dataclasses.replace(
+            tiny.data, dataset="charades", feature_type="c3d",
+            feature_fps=2.0, num_clips=32,
+        ),
+    )
+    config_mod._REGISTRY["charades_cli_test"] = patched
+    try:
+        train.main([
+            "--config", "charades_cli_test",
+            "--annotation-path", str(root / "charades_sta_{split}.txt"),
+            "--feature-dir", str(feat_dir),
+            "--checkpoint-dir", str(ckpt_dir),
+            "--epochs", "1", "--max-steps", "2", "--batch-size", "8",
+            "--lr", "1e-3",
+        ])
+        evaluate.main([
+            "--config", "charades_cli_test",
+            "--annotation-path", str(root / "charades_sta_{split}.txt"),
+            "--feature-dir", str(feat_dir),
+            "--checkpoint-dir", str(ckpt_dir / "charades_cli_test/stage1"),
+            "--split", "test",
+        ])
+    finally:
+        config_mod._REGISTRY.pop("charades_cli_test", None)
+    out = capsys.readouterr().out
+    # one "R@n,IoU=m: pct" line per (n, m) pair
+    pairs = re.findall(r"R@(\d),IoU=([\d.]+): ([\d.]+)", out)
+    assert len(pairs) == 6
+    for _, _, pct in pairs:
+        assert 0.0 <= float(pct) <= 100.0

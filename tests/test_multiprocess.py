@@ -114,7 +114,20 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_workers(nproc: int, workers: int = 0, timeout: int = 600):
+def _run_workers(nproc: int, workers: int = 0, timeout: int = 600,
+                 attempts: int = 2):
+    """Launch the coordinated workers; one retry on a fresh port — under
+    full-suite CPU load the distributed-init barrier can time out."""
+    last = None
+    for _ in range(attempts):
+        try:
+            return _run_workers_once(nproc, workers, timeout)
+        except AssertionError as e:
+            last = e
+    raise last
+
+
+def _run_workers_once(nproc: int, workers: int, timeout: int):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
