@@ -36,13 +36,21 @@ class ModelConfig:
     )
     dtype: str = "bfloat16"          # compute dtype for conv/matmul (MXU-friendly)
     param_dtype: str = "float32"
-    # The Pallas fused tile⊙mul+conv kernel is numerically validated but
-    # measured SLOWER end-to-end than XLA's own fusion at the flagship
-    # shapes (3.65 vs 3.04 ms/eval-step, B=128 T=64 D=512 on v5e: the
-    # custom call is a fusion barrier, and XLA already folds the Hadamard
-    # + bias + LayerNorm + ReLU into the conv at the HBM roofline). Kept
-    # as an option for shapes where XLA schedules worse.
+    # Pallas kernel switches — every default is MEASURED on v5e at the
+    # flagship shapes (see docs/design.md §3 for the full trail):
+    #   * use_pallas_fusion: cross-modal tile⊙mul+conv+LN+ReLU as ONE
+    #     kernel (ops/pallas/fused_fusion.py::fused_fusion_block). Wins
+    #     1.15x in isolation (178 vs 204 us, B=256).
+    #   * use_pallas_conv_blocks: every aligned ConvBlock (levels, FPN,
+    #     IoU mix) as conv+LN+ReLU kernels. Isolated win, but measured
+    #     2.5% SLOWER end-to-end (9.73 vs 9.49 ms @B=384): many custom
+    #     calls break XLA's surrounding fusions — off by default.
+    #   * use_pallas_stem: input-LayerNorm(4096, fp32) + stem conv
+    #     4096→512 + output LN+ReLU in one Cin-chunked kernel — saves a
+    #     full HBM pass over the feature tensor (~440 MB/step @B=384).
     use_pallas_fusion: bool = False
+    use_pallas_conv_blocks: bool = False
+    use_pallas_stem: bool = False
 
     def __post_init__(self):
         assert len(self.level_ranges) == self.num_levels

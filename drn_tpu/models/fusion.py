@@ -61,12 +61,20 @@ class CrossModalFusion(nn.Module):
             and not self.is_initializing()
         )
         if use_pallas:
-            from drn_tpu.ops.pallas.fused_fusion import fused_fusion
+            # Whole-block kernel: conv + bias + LayerNorm + ReLU in one
+            # pallas_call (no fusion barrier — measured 1.15x vs XLA's own
+            # block fusion on v5e; see ops/pallas/fused_fusion.py). The
+            # LayerNorm submodule is not CALLED on this path, so read its
+            # (already-created) params directly; init always takes the
+            # XLA path below, which creates them.
+            from drn_tpu.ops.pallas.fused_fusion import fused_fusion_block
 
-            out = fused_fusion(v, q, kb, bb)
-        else:
-            out = _xla_fused_fusion(v, q, kb, bb)
+            ln = self.variables["params"]["LayerNorm_0"]
+            return fused_fusion_block(
+                v, q, kb, bb, ln["scale"], ln["bias"]
+            )
 
+        out = _xla_fused_fusion(v, q, kb, bb)
         out = nn.LayerNorm(dtype=jnp.float32, param_dtype=pdt(cfg))(
             out.astype(jnp.float32)
         )

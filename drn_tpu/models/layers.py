@@ -1,11 +1,15 @@
 """Shared building blocks: 1-D conv wrapper, linear temporal sampling.
 
 Convs run in the config compute dtype (bfloat16 by default → MXU-friendly);
-normalization and reductions stay in float32.
+normalization and reductions stay in float32. On TPU with
+`use_pallas_fusion`, the whole conv→LN→ReLU block runs as ONE Pallas
+kernel (ops/pallas/conv_block.py) — no HBM round-trip of the conv output
+between the conv and the LayerNorm.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -32,6 +36,39 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        cin = x.shape[-1]
+        w_bytes = self.kernel_size * cin * self.features * 2  # bf16 resident
+        t = x.shape[1]
+        use_pallas = (
+            self.cfg.use_pallas_conv_blocks
+            and jax.default_backend() == "tpu"
+            and not self.is_initializing()
+            and self.kernel_size % 2 == 1
+            and self.stride in (1, 2)
+            and w_bytes <= 8 * 2**20  # stem (Cin=4096) stays on XLA
+            # ragged time lengths (head towers' gap-padded concat, T=114)
+            # force Mosaic relayouts that cost more than the fusion saves
+            and t % 16 == 0 and (t // self.stride) % 16 == 0
+        )
+        if use_pallas:
+            # One whole-block kernel; the submodules are not CALLED here,
+            # so read their params directly (init always takes the XLA
+            # path below, which creates them with these names).
+            from drn_tpu.ops.pallas.conv_block import conv_ln_relu
+
+            p = self.variables["params"]
+            w = p["Conv_0"]["kernel"].astype(cdt(self.cfg))
+            b = p["Conv_0"]["bias"].astype(cdt(self.cfg))
+            if self.use_norm:
+                scale = p["LayerNorm_0"]["scale"]
+                offset = p["LayerNorm_0"]["bias"]
+            else:
+                scale = jnp.ones((self.features,), jnp.float32)
+                offset = jnp.zeros((self.features,), jnp.float32)
+            return conv_ln_relu(
+                x.astype(cdt(self.cfg)), w, b, scale, offset,
+                self.stride, self.use_norm, self.use_act,
+            )
         x = nn.Conv(
             self.features,
             kernel_size=(self.kernel_size,),
