@@ -132,24 +132,42 @@ def _chained_time(run_k, iters: int, warmup: int = 2, reps: int = 5):
 
 
 def _step_flops(jitted, args) -> float | None:
-    """XLA's FLOP estimate for one RAW (un-chained) step.
+    """FLOP estimate for one RAW (un-chained) step.
 
     Must be the raw step, not the K-chained loop: cost_analysis does not
     scale with `fori_loop` trip count, so chained graphs report the body
     roughly once regardless of K (and with the last iteration's dead code
-    eliminated). Estimate only — scan/loop bodies inside the step (LSTM)
-    may be undercounted, so true MFU is >= the reported value."""
+    eliminated). Tries XLA's own cost analysis first; the relay-attached
+    TPU client returns None from it, so fall back to the jaxpr matmul/conv
+    counter (within ~10% of XLA's number where both exist —
+    tests/test_flops.py)."""
     try:
         lowered = jitted.lower(*args)
         try:
             ca = lowered.cost_analysis()  # client-side, no backend compile
         except Exception:
-            ca = lowered.compile().cost_analysis()
+            ca = None
+        if ca is None:
+            try:
+                ca = lowered.compile().cost_analysis()
+            except Exception:
+                ca = None
         if isinstance(ca, list):
             ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
+        if ca is not None:
+            flops = float(ca.get("flops", 0.0))
+            if flops:
+                return flops
     except Exception as e:  # cost analysis is best-effort on some backends
         log(f"cost_analysis unavailable: {e!r}")
+    try:
+        from drn_tpu.utils.flops import estimate_flops
+
+        flops = estimate_flops(jitted, *args)
+        log(f"using jaxpr FLOP estimate: {flops / 1e9:.2f} GF/step")
+        return flops or None
+    except Exception as e:
+        log(f"jaxpr FLOP estimate failed: {e!r}")
         return None
 
 
