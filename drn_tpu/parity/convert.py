@@ -138,3 +138,39 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Dict[str, Any]:
           if isinstance(obj, dict) and isinstance(obj.get("model"), dict)
           else obj)
     return torch_state_to_flax(sd, cfg)
+
+
+def main(argv=None):
+    """One-time migration for reference users: .pth → native Orbax checkpoint
+    usable by evaluate.py / infer.py / train.py --init-from.
+
+        python -m drn_tpu.parity.convert --config charades_c3d \\
+            --torch-checkpoint model_best.pth --out /ckpt/charades_stage1
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Convert a parity-schema .pth into an Orbax checkpoint"
+    )
+    p.add_argument("--config", default="charades_c3d")
+    p.add_argument("--torch-checkpoint", required=True)
+    p.add_argument("--out", required=True, help="Orbax checkpoint directory")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from drn_tpu.config import get_config
+    from drn_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = get_config(args.config)
+    params = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
+    ckpt = CheckpointManager(args.out)
+    ckpt.save(0, {"params": params}, force=True)
+    ckpt.wait()
+    ckpt.close()
+    print(f"wrote Orbax checkpoint: {args.out} (step 0, "
+          f"{len(jax.tree.leaves(params))} arrays)")
+
+
+if __name__ == "__main__":
+    main()
