@@ -36,18 +36,13 @@ class ModelConfig:
     )
     dtype: str = "bfloat16"          # compute dtype for conv/matmul (MXU-friendly)
     param_dtype: str = "float32"
-    # Pallas kernel switches — every default is MEASURED on v5e at the
-    # flagship shapes (see docs/design.md §3 for the full trail):
-    #   * use_pallas_fusion: cross-modal tile⊙mul+conv+LN+ReLU as ONE
-    #     kernel (ops/pallas/fused_fusion.py::fused_fusion_block). Wins
-    #     1.15x in isolation (178 vs 204 us, B=256).
-    #   * use_pallas_conv_blocks: every aligned ConvBlock (levels, FPN,
-    #     IoU mix) as conv+LN+ReLU kernels. Isolated win, but measured
-    #     2.5% SLOWER end-to-end (9.73 vs 9.49 ms @B=384): many custom
-    #     calls break XLA's surrounding fusions — off by default.
-    #   * use_pallas_stem: input-LayerNorm(4096, fp32) + stem conv
-    #     4096→512 + output LN+ReLU in one Cin-chunked kernel — saves a
-    #     full HBM pass over the feature tensor (~440 MB/step @B=384).
+    # Pallas kernel switches — all OFF by default, and that decision is
+    # FINAL per measurement on v5e at flagship shapes (full trail in
+    # docs/design.md §3): every kernel loses end-to-end to XLA's own
+    # whole-graph fusion (fusion kernel 9.91 vs 9.38 ms; conv blocks
+    # 9.73 vs 9.49 ms; stem 11.06 vs 9.38 ms, B=384). The kernels stay
+    # as validated, flag-gated alternatives for shapes XLA might
+    # mis-schedule; each is numerics-pinned by tests.
     use_pallas_fusion: bool = False
     use_pallas_conv_blocks: bool = False
     use_pallas_stem: bool = False

@@ -88,14 +88,20 @@ def _pick(bsz: int, candidates=(4, 2)) -> int:
 
 
 def _forward(x, in_scale, in_bias, w, b, out_scale, out_bias, *,
-             cdtype, interpret: bool, chunk: int | None = None):
+             cdtype, interpret: bool, chunk: int | None = None,
+             bb: int | None = None):
     bsz, t, cin = x.shape
     k, _, cout = w.shape
     assert k % 2 == 1, f"fused_stem requires odd kernel width, got {k}"
     chunk = chunk or min(cin, 1024)
     assert cin % chunk == 0
     nkc = cin // chunk
-    bb = _pick(bsz)
+    # Batch-block size trades VMEM against weight traffic: the (K, Cin,
+    # Cout) weight streams once per batch block, so HBM weight bytes =
+    # (bsz/bb) x |W|. bb=16 keeps that under the feature bytes while the
+    # resident input block (bb*T*Cin fp32) still fits VMEM.
+    bb = bb or _pick(bsz, candidates=(16, 8, 4, 2))
+    assert bsz % bb == 0, (bsz, bb)
     cdtype = jnp.dtype(cdtype)
     return pl.pallas_call(
         partial(_stem_kernel, k=k, chunk=chunk, cdtype=cdtype),
@@ -134,6 +140,11 @@ def _forward(x, in_scale, in_bias, w, b, out_scale, out_bias, *,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # The resident input block + xn scratch + double-buffered weight
+            # chunks top Mosaic's default 16 MB scoped-vmem budget at
+            # B=384 (bb=4: ~17 MB). v5e has 128 MB of VMEM; give the
+            # scheduler room instead of shrinking the MXU tiles.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, in_scale[None, :], in_bias[None, :], w, b[None, :],
