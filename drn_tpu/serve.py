@@ -1,0 +1,306 @@
+"""Batched HTTP inference server (stdlib-only; TPU-idiomatic fixed shapes).
+
+The reference has no serving story at all — inference means running
+`test.py` over a dataset (SURVEY.md §4.3). This serves ad-hoc grounding
+requests against ONE compiled step: requests queue on the host, a batcher
+thread gathers up to the compiled batch size (or until --max-wait-ms),
+pads the remainder with invalid rows, and runs the SAME jitted eval step
+every time — no retracing, no dynamic shapes, the TPU only ever sees the
+one program.
+
+    python -m drn_tpu.serve --config charades_c3d \
+        --checkpoint-dir /ckpt/charades_c3d/stage2 --port 8100
+
+API:
+  GET  /healthz            → {"status": "ok", "batch_size": N, ...}
+  POST /ground             JSON {"query": str,
+                                 "features": [[...]...] (T_raw, F) floats
+                                   | "features_path": server-side .npy,
+                                 "duration": seconds (optional)}
+                           → {"segments": [[s,e]...], "scores": [...]}
+    (top segments in seconds, post-NMS, best first)
+
+Batching waits at most --max-wait-ms once a request arrives, so single
+requests pay ~one step of latency and concurrent load rides the batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from drn_tpu.config import ExperimentConfig, get_config
+from drn_tpu.data.features import resample_features
+from drn_tpu.data.vocab import Vocab, tokenize
+
+
+class _Request:
+    __slots__ = ("features", "word_ids", "query_mask", "duration", "event",
+                 "result", "error")
+
+    def __init__(self, features, word_ids, query_mask, duration):
+        self.features = features
+        self.word_ids = word_ids
+        self.query_mask = query_mask
+        self.duration = duration
+        self.event = threading.Event()
+        self.result: Optional[Dict[str, Any]] = None
+        self.error: Optional[str] = None
+
+
+class GroundingService:
+    """Owns the compiled step + vocab; turns raw requests into responses."""
+
+    def __init__(self, cfg: ExperimentConfig, model, params,
+                 vocab: Vocab, batch_size: Optional[int] = None,
+                 max_wait_ms: float = 5.0, top: int = 5):
+        if batch_size:
+            cfg = cfg.replace(
+                eval=dataclasses.replace(cfg.eval, batch_size=batch_size)
+            )
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.vocab = vocab
+        self.top = top
+        self.batch_size = cfg.eval.batch_size
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._batcher, daemon=True)
+
+    # -- host-side preprocessing (the Dataset equivalent for ad-hoc input)
+
+    def prepare(self, payload: Dict[str, Any]) -> _Request:
+        d, m = self.cfg.data, self.cfg.model
+        if "features_path" in payload:
+            raw = np.load(payload["features_path"]).astype(np.float32)
+        else:
+            raw = np.asarray(payload["features"], np.float32)
+        if raw.ndim != 2 or raw.shape[1] != m.feature_dim:
+            raise ValueError(
+                f"features must be (T_raw, {m.feature_dim}); got {raw.shape}"
+            )
+        feats = resample_features(raw, d.num_clips)
+        ids, mask = self.vocab.encode(
+            tokenize(str(payload["query"]), d.lowercase), d.max_query_len
+        )
+        duration = float(payload.get("duration", 0.0))
+        if duration <= 0.0:
+            duration = raw.shape[0] / d.feature_fps
+        return _Request(feats, ids, mask, duration)
+
+    def submit(self, req: _Request, timeout_s: float = 60.0
+               ) -> Dict[str, Any]:
+        self._q.put(req)
+        if not req.event.wait(timeout_s):
+            raise TimeoutError("inference timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        assert req.result is not None
+        return req.result
+
+    # -- the batcher: fixed-shape padded batches into one jitted step
+
+    def start(self):
+        # Warm the compile before accepting traffic.
+        self._run([])
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _batcher(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            reqs = [first]
+            time.sleep(self.max_wait_s)  # gather window
+            while len(reqs) < self.batch_size:
+                try:
+                    reqs.append(self._q.get_nowait())
+                except queue.Empty:
+                    break
+            try:
+                results = self._run(reqs)
+                for r, out in zip(reqs, results):
+                    r.result = out
+            except Exception as e:  # surface to every waiter, keep serving
+                for r in reqs:
+                    r.error = f"{type(e).__name__}: {e}"
+            for r in reqs:
+                r.event.set()
+
+    def _run(self, reqs: List[_Request]) -> List[Dict[str, Any]]:
+        from drn_tpu.evaluate import predict
+
+        d, m = self.cfg.data, self.cfg.model
+        b = self.batch_size
+        n = len(reqs)
+        batch = {
+            "features": np.zeros((b, d.num_clips, m.feature_dim), np.float32),
+            "word_ids": np.zeros((b, d.max_query_len), np.int32),
+            "query_mask": np.zeros((b, d.max_query_len), bool),
+            # gt_grid/valid explicit: predict() would otherwise force
+            # valid=ones, counting the padding rows as live requests.
+            "gt_grid": np.zeros((b, 2), np.float32),
+            "duration": np.full((b,), 1.0, np.float32),
+            "valid": np.zeros((b,), bool),
+        }
+        batch["query_mask"][:, 0] = True  # LSTM needs >=1 live step per row
+        for i, r in enumerate(reqs):
+            batch["features"][i] = r.features
+            batch["word_ids"][i] = r.word_ids
+            batch["query_mask"][i] = r.query_mask
+            batch["duration"][i] = r.duration
+            batch["valid"][i] = True
+        segs, keep, scores = predict(self.cfg, self.model, self.params, batch)
+        out = []
+        for i in range(n):
+            kept = [
+                {"segment": [float(segs[i, j, 0]), float(segs[i, j, 1])],
+                 "score": float(scores[i, j])}
+                for j in range(segs.shape[1]) if keep[i, j]
+            ][: self.top]
+            out.append({
+                "segments": [e["segment"] for e in kept],
+                "scores": [e["score"] for e in kept],
+            })
+        return out
+
+
+def make_handler(service: GroundingService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; errors still raise
+            pass
+
+        def _send(self, code: int, obj: Dict[str, Any]):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "config": service.cfg.name,
+                    "batch_size": service.batch_size,
+                })
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/ground":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length))
+                req = service.prepare(payload)
+                self._send(200, service.submit(req))
+            except (ValueError, KeyError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def build_service(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None,
+                  torch_checkpoint: Optional[str] = None,
+                  batch_size: Optional[int] = None,
+                  max_wait_ms: float = 5.0, top: int = 5,
+                  params=None) -> GroundingService:
+    import jax
+
+    from drn_tpu.data.pipeline import build_vocab
+    from drn_tpu.train import build_model, init_state, make_optimizer
+
+    vocab = build_vocab(cfg.data, cfg.model)
+    model = build_model(cfg, pretrained_embeddings=vocab.embeddings)
+    if params is None:
+        state = init_state(cfg, model, make_optimizer(cfg, 1),
+                           jax.random.key(0))
+        params = state.params
+        if torch_checkpoint:
+            from drn_tpu.parity.convert import load_torch_checkpoint
+
+            params = load_torch_checkpoint(torch_checkpoint, cfg.model)
+        elif checkpoint_dir:
+            from drn_tpu.utils.checkpoint import CheckpointManager
+
+            ckpt = CheckpointManager(checkpoint_dir)
+            restored = ckpt.restore({"params": params}, partial=True)
+            if restored is None:
+                raise FileNotFoundError(f"no checkpoint in {checkpoint_dir}")
+            params = restored["params"]
+            ckpt.close()
+    return GroundingService(cfg, model, params, vocab,
+                            batch_size=batch_size, max_wait_ms=max_wait_ms,
+                            top=top)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="drn_tpu grounding server")
+    p.add_argument("--config", default="charades_c3d")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--torch-checkpoint", default=None)
+    p.add_argument("--glove-path", default=None)
+    p.add_argument("--annotation-path", default=None,
+                   help="GloVe mode: dataset annotations that fix the vocab")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8100)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--top", type=int, default=5)
+    args = p.parse_args(argv)
+    if not args.checkpoint_dir and not args.torch_checkpoint:
+        p.error("one of --checkpoint-dir / --torch-checkpoint is required")
+
+    from drn_tpu.utils import enable_jit_cache
+
+    enable_jit_cache()
+    cfg = get_config(args.config)
+    da = {}
+    if args.glove_path:
+        da["glove_path"] = args.glove_path
+    if args.annotation_path:
+        da["annotation_path"] = args.annotation_path
+    if da:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
+
+    service = build_service(
+        cfg, checkpoint_dir=args.checkpoint_dir,
+        torch_checkpoint=args.torch_checkpoint,
+        batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+        top=args.top,
+    )
+    service.start()
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(service))
+    print(f"serving {cfg.name} on http://{args.host}:{args.port} "
+          f"(batch={service.batch_size})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.stop()
+
+
+if __name__ == "__main__":
+    main()

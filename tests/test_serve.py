@@ -1,0 +1,90 @@
+"""Batched HTTP grounding server: end-to-end over a real socket.
+
+Starts the server with random params on the synthetic config, then checks
+/healthz, a single /ground request, concurrent requests (one batched step),
+and the 400 path for malformed input.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from drn_tpu.config import get_config
+from drn_tpu.serve import build_service, make_handler
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = get_config("synthetic_tiny")
+    service = build_service(cfg, batch_size=4, max_wait_ms=10.0, top=3)
+    service.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", cfg
+    httpd.shutdown()
+    service.stop()
+
+
+def _post(url, payload, timeout=120):
+    req = urllib.request.Request(
+        url + "/ground", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _payload(cfg, seed=0, t_raw=40):
+    rng = np.random.default_rng(seed)
+    return {
+        "query": "the person opens the door",
+        "features": rng.normal(
+            size=(t_raw, cfg.model.feature_dim)).tolist(),
+        "duration": 20.0,
+    }
+
+
+def test_healthz(server):
+    url, cfg = server
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        got = json.loads(r.read())
+    assert got["status"] == "ok"
+    assert got["batch_size"] == 4
+
+
+def test_single_request(server):
+    url, cfg = server
+    out = _post(url, _payload(cfg))
+    assert out["segments"] and len(out["segments"]) <= 3
+    assert len(out["scores"]) == len(out["segments"])
+    for (s, e), sc in zip(out["segments"], out["scores"]):
+        assert 0.0 <= s <= e <= 20.0 + 1e-3
+        assert 0.0 <= sc <= 1.0
+    # best-first ordering
+    assert out["scores"] == sorted(out["scores"], reverse=True)
+
+
+def test_concurrent_requests_batch(server):
+    url, cfg = server
+    with ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(
+            lambda i: _post(url, _payload(cfg, seed=i)), range(4)
+        ))
+    assert all(o["segments"] for o in outs)
+    # different inputs -> not all identical outputs
+    assert len({json.dumps(o) for o in outs}) > 1
+
+
+def test_bad_feature_shape_is_400(server):
+    url, cfg = server
+    bad = {"query": "hi", "features": [[1.0, 2.0]], "duration": 5.0}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(url, bad)
+    assert ei.value.code == 400
