@@ -145,16 +145,17 @@ class IoUHead(nn.Module):
 
         start, end = segments[..., 0], segments[..., 1]
         mid = 0.5 * (start + end)
+        n = feats.shape[1]
         # base-grid coords → flat fractional indices, clipped inside the
         # location's own level so interpolation never crosses levels.
         to_idx = lambda p: jnp.clip(p / strides - 0.5 + lo, lo, hi)
+        # One sampling call for start/mid/end → one pair of selection
+        # matmuls instead of three (see linear_time_sample).
+        pos = jnp.concatenate(
+            [to_idx(start), to_idx(mid), to_idx(end)], axis=1)  # (B, 3N)
+        s = linear_time_sample(feats, pos)                      # (B, 3N, D)
         sampled = jnp.concatenate(
-            [
-                linear_time_sample(feats, to_idx(start)),
-                linear_time_sample(feats, to_idx(mid)),
-                linear_time_sample(feats, to_idx(end)),
-            ],
-            axis=-1,
+            [s[:, :n], s[:, n : 2 * n], s[:, 2 * n :]], axis=-1
         )  # (B, N, 3D)
 
         x = sampled.astype(cdt(cfg))
