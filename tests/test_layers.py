@@ -1,0 +1,63 @@
+"""linear_time_sample: selection-matmul form vs a NumPy gather-lerp oracle.
+
+The rewrite from take_along_axis to one-hot matmuls (21% whole-step win on
+v5e) must stay numerically identical — each output row accumulates exactly
+one nonzero product, so dtype and accumulation order cannot change the
+result. These tests pin that equivalence in fp32 (exact) and bf16 (exact
+selection, lerp in fp32).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from drn_tpu.models.layers import linear_time_sample
+
+
+def _oracle(feat, pos):
+    """Reference gather-lerp in NumPy (the pre-rewrite formulation)."""
+    b, t, d = feat.shape
+    pos = np.clip(pos, 0.0, t - 1.0)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, t - 1)
+    w = (pos - lo)[..., None].astype(np.float32)
+    f_lo = np.take_along_axis(feat, lo[..., None], axis=1).astype(np.float32)
+    f_hi = np.take_along_axis(feat, hi[..., None], axis=1).astype(np.float32)
+    return f_lo * (1.0 - w) + f_hi * w
+
+
+def test_matches_gather_oracle_fp32():
+    rng = np.random.default_rng(0)
+    feat = rng.normal(size=(3, 17, 8)).astype(np.float32)
+    pos = rng.uniform(-2.0, 20.0, size=(3, 11)).astype(np.float32)
+    got = np.asarray(linear_time_sample(jnp.asarray(feat), jnp.asarray(pos)))
+    np.testing.assert_array_equal(got, _oracle(feat, pos))
+
+
+def test_matches_gather_oracle_bf16_selection_exact():
+    rng = np.random.default_rng(1)
+    feat32 = rng.normal(size=(2, 9, 4)).astype(np.float32)
+    feat = jnp.asarray(feat32, jnp.bfloat16)
+    pos = rng.uniform(0.0, 8.0, size=(2, 7)).astype(np.float32)
+    got = np.asarray(
+        linear_time_sample(feat, jnp.asarray(pos)), np.float32
+    )
+    want = _oracle(np.asarray(feat, np.float32), pos)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_integer_positions_select_exactly():
+    rng = np.random.default_rng(2)
+    feat = rng.normal(size=(2, 6, 5)).astype(np.float32)
+    pos = np.asarray([[0.0, 3.0, 5.0], [1.0, 1.0, 4.0]], np.float32)
+    got = np.asarray(linear_time_sample(jnp.asarray(feat), jnp.asarray(pos)))
+    for b in range(2):
+        for n, p in enumerate(pos[b]):
+            np.testing.assert_array_equal(got[b, n], feat[b, int(p)])
+
+
+def test_out_of_range_positions_clip():
+    feat = np.arange(12, dtype=np.float32).reshape(1, 4, 3)
+    pos = np.asarray([[-5.0, 99.0]], np.float32)
+    got = np.asarray(linear_time_sample(jnp.asarray(feat), jnp.asarray(pos)))
+    np.testing.assert_array_equal(got[0, 0], feat[0, 0])
+    np.testing.assert_array_equal(got[0, 1], feat[0, -1])
