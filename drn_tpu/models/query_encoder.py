@@ -49,10 +49,25 @@ class TextEmbedding(nn.Module):
         return jnp.take(table, ids, axis=0)
 
 
+_GATE_ORDER = ("i", "f", "g", "o")  # torch/flax LSTM gate convention
+
+
 class QueryEncoder(nn.Module):
+    """`fast=True` (default) runs both directions of every BiLSTM layer in
+    ONE `lax.scan` with stacked weights and precomputed input projections —
+    60 sequential batched matmuls instead of 240 small ones (the TPU
+    replacement for cuDNN's fused LSTM). Column-block exact vs the
+    per-direction `nn.RNN` formulation at every VALID position; padded
+    positions may differ (nn.RNN freezes carries past seq_lengths) but are
+    masked out of the pooled queries either way — pinned by
+    tests/test_model.py::test_fast_lstm_matches_rnn_path. The param tree is
+    created by (and identical to) the `nn.RNN` path, so the torch-parity
+    conversion schema is unchanged."""
+
     cfg: ModelConfig
     pretrained_embeddings: Optional[np.ndarray] = None
     freeze_embeddings: bool = False
+    fast: bool = True
 
     @nn.compact
     def __call__(self, word_ids, query_mask) -> List[jnp.ndarray]:
@@ -71,19 +86,78 @@ class QueryEncoder(nn.Module):
         half = cfg.hidden_dim // 2
         layer_outputs = []
         h = x
-        for i in range(cfg.num_lstm_layers):
-            fwd = nn.RNN(
-                nn.OptimizedLSTMCell(half, dtype=jnp.float32),
-                name=f"lstm_fwd_{i}",
-            )(h, seq_lengths=lengths)
-            bwd = nn.RNN(
-                nn.OptimizedLSTMCell(half, dtype=jnp.float32),
-                reverse=True,
-                keep_order=True,
-                name=f"lstm_bwd_{i}",
-            )(h, seq_lengths=lengths)
-            h = jnp.concatenate([fwd, bwd], axis=-1)  # (B, L, D)
-            layer_outputs.append(h)
+        if self.is_initializing() or not self.fast:
+            for i in range(cfg.num_lstm_layers):
+                fwd = nn.RNN(
+                    nn.OptimizedLSTMCell(half, dtype=jnp.float32),
+                    name=f"lstm_fwd_{i}",
+                )(h, seq_lengths=lengths)
+                bwd = nn.RNN(
+                    nn.OptimizedLSTMCell(half, dtype=jnp.float32),
+                    reverse=True,
+                    keep_order=True,
+                    name=f"lstm_bwd_{i}",
+                )(h, seq_lengths=lengths)
+                h = jnp.concatenate([fwd, bwd], axis=-1)  # (B, L, D)
+                layer_outputs.append(h)
+        else:
+            # Fast path: the cells' params were created by the init path
+            # above; read them and run the fused recurrence.
+            p = self.variables["params"]
+            l = x.shape[1]
+            ar = jnp.arange(l)
+            # flip the VALID prefix of each row, padding stays in place
+            # (flax flip_sequences semantics for the reverse direction).
+            flip_idx = jnp.where(
+                ar[None, :] < lengths[:, None],
+                lengths[:, None] - 1 - ar[None, :],
+                ar[None, :],
+            )
+
+            def flip(t):
+                return jnp.take_along_axis(t, flip_idx[..., None], axis=1)
+
+            for i in range(cfg.num_lstm_layers):
+                cells = [p[f"OptimizedLSTMCell_{2 * i}"],
+                         p[f"OptimizedLSTMCell_{2 * i + 1}"]]
+                w_ih = jnp.stack([
+                    jnp.concatenate(
+                        [c[f"i{g}"]["kernel"] for g in _GATE_ORDER], axis=1)
+                    for c in cells
+                ])                                           # (2, in, 4H)
+                w_hh = jnp.stack([
+                    jnp.concatenate(
+                        [c[f"h{g}"]["kernel"] for g in _GATE_ORDER], axis=1)
+                    for c in cells
+                ])                                           # (2, H, 4H)
+                bias = jnp.stack([
+                    jnp.concatenate(
+                        [c[f"h{g}"]["bias"] for g in _GATE_ORDER])
+                    for c in cells
+                ])                                           # (2, 4H)
+
+                xs = jnp.stack([h, flip(h)])                 # (2, B, L, in)
+                xproj = (jnp.einsum("sbli,sif->sblf", xs, w_ih)
+                         + bias[:, None, None, :])
+                xproj = jnp.moveaxis(xproj, 2, 0)            # (L, 2, B, 4H)
+
+                def step(carry, xp, w_hh=w_hh):
+                    c, hh = carry
+                    z = xp + jnp.einsum("sbh,shf->sbf", hh, w_hh)
+                    zi, zf, zg, zo = jnp.split(z, 4, axis=-1)
+                    c2 = (nn.sigmoid(zf) * c
+                          + nn.sigmoid(zi) * jnp.tanh(zg))
+                    h2 = nn.sigmoid(zo) * jnp.tanh(c2)
+                    return (c2, h2), h2
+
+                b = h.shape[0]
+                init = (jnp.zeros((2, b, half), jnp.float32),
+                        jnp.zeros((2, b, half), jnp.float32))
+                _, outs = jax.lax.scan(step, init, xproj)    # (L, 2, B, H)
+                fwd = jnp.moveaxis(outs[:, 0], 0, 1)         # (B, L, H)
+                bwd = flip(jnp.moveaxis(outs[:, 1], 0, 1))
+                h = jnp.concatenate([fwd, bwd], axis=-1)
+                layer_outputs.append(h)
 
         mask_f = query_mask[..., None].astype(jnp.float32)
         denom = jnp.maximum(mask_f.sum(axis=1), 1.0)

@@ -102,3 +102,40 @@ def test_loss_finite_and_grads_flow(setup):
         0.0,
     )
     assert iou_g > 0
+
+
+def test_fast_lstm_matches_rnn_path(setup):
+    """The fused-scan BiLSTM (QueryEncoder.fast) must reproduce the
+    per-direction nn.RNN formulation at the user-visible contract — the
+    pooled per-level queries — to fp32 tolerance, including ragged
+    lengths. (Padded positions may legitimately differ: nn.RNN freezes
+    carries past seq_lengths, the fast path lets them run; both are
+    masked out of the pool.)"""
+    from drn_tpu.models.query_encoder import QueryEncoder
+
+    cfg, model, params, (feats, words, mask) = setup
+    qp = {"params": params["params"]["query_encoder"]}
+    fast = QueryEncoder(cfg.model, fast=True).apply(qp, words, mask)
+    slow = QueryEncoder(cfg.model, fast=False).apply(qp, words, mask)
+    assert len(fast) == len(slow) == cfg.model.num_levels
+    for f, s in zip(fast, slow):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(s),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fast_lstm_single_token_rows(setup):
+    """Edge case: rows whose mask is a single live token (the pipeline's
+    empty-query fallback) must not NaN or diverge between paths."""
+    from drn_tpu.models.query_encoder import QueryEncoder
+
+    cfg, model, params, (feats, words, mask) = setup
+    qp = {"params": params["params"]["query_encoder"]}
+    m1 = np.zeros_like(np.asarray(mask))
+    m1[:, 0] = True
+    m1 = jnp.asarray(m1)
+    fast = QueryEncoder(cfg.model, fast=True).apply(qp, words, m1)
+    slow = QueryEncoder(cfg.model, fast=False).apply(qp, words, m1)
+    for f, s in zip(fast, slow):
+        assert np.isfinite(np.asarray(f)).all()
+        np.testing.assert_allclose(np.asarray(f), np.asarray(s),
+                                   rtol=1e-5, atol=1e-5)
