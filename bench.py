@@ -238,7 +238,9 @@ def measure_train_qps(cfg, iters: int, warmup: int = 2):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="charades_c3d_batched_eval")
-    p.add_argument("--iters", type=int, default=24)
+    p.add_argument("--iters", type=int, default=96,
+                   help="chained steps per timing; the flagship eval step "
+                        "is sub-ms, so long chains keep relay jitter small")
     p.add_argument("--batch-size", type=int, default=None,
                    help="override eval+train batch size (B-sweep)")
     p.add_argument("--baseline-queries", type=int, default=32,

@@ -167,16 +167,19 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         model=dict(feature_dim=1024),
         data=dict(dataset="charades", feature_type="i3d", num_clips=64),
     ),
-    # 2) Charades-STA batched multi-query eval (on-device NMS, bigger
-    # batches). Batch sweep on v5e with the FULL step timed (NMS + recall
-    # counts consumed — earlier 52.7k@256 was measured on a graph where
-    # XLA had pruned the NMS/recall stages): 39.7k@128, 41.5k@256,
-    # 42.8k@384 (best), 39.1k@512 (HBM pressure).
+    # 2) Charades-STA batched multi-query eval (on-device NMS). Batch
+    # sweep on v5e, FULL step timed (NMS + recall counts consumed),
+    # iters=96, AFTER the selection-matmul sampling + fused-LSTM rewrites
+    # moved the optimum way down: 56.3k@32, 57.1k@40, ~60k@48 (best;
+    # 59.3/60.0/62.7k across three runs), 58.0k@56, 54.2k@64, 56.0k@80,
+    # 54.8k@96, 52.5k@128, 51.1k@256, 49.8k@384. Training throughput
+    # still prefers big batches (44% MFU @384), so data.batch_size stays
+    # 384 for the train-step benchmark.
     "charades_c3d_batched_eval": _cfg(
         "charades_c3d_batched_eval",
         model=dict(feature_dim=4096),
         data=dict(dataset="charades", feature_type="c3d", num_clips=64, batch_size=384),
-        eval=dict(batch_size=384),
+        eval=dict(batch_size=48),
     ),
     # 3) ActivityNet-Captions: longer videos, deeper pyramid, I3D features.
     "activitynet_i3d": _cfg(
