@@ -250,6 +250,10 @@ def main():
                    help="skip the training-step throughput measurement")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace of the timed loop")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu' for a smoke run; "
+                        "env vars alone don't override this sandbox's "
+                        "pinned backend)")
     p.add_argument("--inner", action="store_true",
                    help="internal: run the measurement in-process")
     p.add_argument("--attempt-timeout", type=int, default=540)
@@ -279,6 +283,8 @@ def main():
             cmd.append("--skip-train")
         if args.profile:
             cmd += ["--profile", args.profile]
+        if args.platform:
+            cmd += ["--platform", args.platform]
         for attempt in range(3):
             try:
                 r = subprocess.run(cmd, timeout=args.attempt_timeout,
@@ -309,6 +315,8 @@ def main():
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     if args.profile:
         from drn_tpu.utils.profiling import trace
