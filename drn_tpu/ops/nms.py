@@ -37,6 +37,12 @@ def temporal_nms(
     segs = segments[order]
     iou = temporal_iou(segs[:, None, :], segs[None, :, :])  # (K, K)
 
+    # K-step masked sweep. A while-loop-until-fixpoint formulation
+    # (keep = ¬∃ kept suppressor, iterated to convergence) was measured
+    # SLOWER at flagship shapes (scripts/nms_probe.py: 42.7 vs 28.7 µs
+    # random, B=K=48) — the batched while's per-iteration convergence
+    # reduction costs more than the short boolean fori_loop body, which
+    # XLA pipelines well. Either way NMS is ~3% of the eval step.
     def body(i, keep):
         # Suppress all lower-ranked candidates overlapping candidate i,
         # but only if i itself is still alive.

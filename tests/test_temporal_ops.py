@@ -109,3 +109,25 @@ def test_recall_respects_nms_rank():
     gt = jnp.array([[0.0, 10.0]])
     out = recall_at_n(segs, keep, gt, ns=(1,), iou_thresholds=(0.5,))
     assert float(out[(1, 0.5)]) == 1.0  # kept one ranks first among kept
+
+
+def test_nms_deep_suppression_chain():
+    """Adversarial chain for the fixpoint-iteration NMS: segment i overlaps
+    only segment i+1, scores descend — so kept/suppressed alternate and the
+    keep decision at rank i depends on rank i-1's, forcing the full
+    dependency depth (the case a 'suppress by any higher-scored overlap'
+    shortcut gets wrong)."""
+    k = 24
+    starts = np.arange(k, dtype=np.float32) * 4.0
+    # length 10, stride 4: IoU(i, i+1) = 6/14 ≈ 0.43 > 0.3, but
+    # IoU(i, i+2) = 2/18 ≈ 0.11 < 0.3 — only adjacent pairs interact.
+    segs = np.stack([starts, starts + 10.0], -1)
+    scores = np.arange(k, 0, -1, dtype=np.float32)
+    order, keep, _ = batched_temporal_nms(
+        jnp.asarray(segs[None]), jnp.asarray(scores[None]), 0.3
+    )
+    want = np_nms(segs, scores, 0.3)
+    got = [int(order[0, j]) for j in range(k) if keep[0, j]]
+    assert got == want
+    # alternating pattern: evens kept, odds suppressed
+    assert got == list(range(0, k, 2))
