@@ -49,7 +49,8 @@ def make_bench_batch(cfg, seed: int = 0, batch_size: int | None = None):
     }
 
 
-def measure_tpu_qps(cfg, iters: int, warmup: int = 2) -> float:
+def measure_tpu_qps(cfg, iters: int, warmup: int = 2
+                    ) -> tuple[float, float | None]:
     """Device-side queries/sec via on-device step chaining.
 
     The sandbox TPU sits behind a relay with ~30 ms RTT where
@@ -137,21 +138,16 @@ def _step_flops(jitted, args) -> float | None:
     Must be the raw step, not the K-chained loop: cost_analysis does not
     scale with `fori_loop` trip count, so chained graphs report the body
     roughly once regardless of K (and with the last iteration's dead code
-    eliminated). Tries XLA's own cost analysis first; the relay-attached
-    TPU client returns None from it, so fall back to the jaxpr matmul/conv
-    counter (within ~10% of XLA's number where both exist —
-    tests/test_flops.py)."""
+    eliminated). Tries XLA's client-side cost analysis first (free); the
+    relay-attached TPU client returns None from it, so next comes the
+    jaxpr matmul/conv counter (also free, within ~10% of XLA's number
+    where both exist — tests/test_flops.py). A compile()-based analysis is
+    deliberately NOT attempted: it would trigger a full backend compile of
+    the raw (never-executed) step — minutes on the relay — to refine a
+    number the jaxpr counter already provides."""
     try:
         lowered = jitted.lower(*args)
-        try:
-            ca = lowered.cost_analysis()  # client-side, no backend compile
-        except Exception:
-            ca = None
-        if ca is None:
-            try:
-                ca = lowered.compile().cost_analysis()
-            except Exception:
-                ca = None
+        ca = lowered.cost_analysis()  # client-side, no backend compile
         if isinstance(ca, list):
             ca = ca[0]
         if ca is not None:

@@ -135,13 +135,29 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--platforms", default="tpu",
                    help="comma-separated lowering platforms, e.g. tpu,cpu")
+    p.add_argument("--glove-path", default=None)
+    p.add_argument("--annotation-path", default=None,
+                   help="GloVe mode: dataset annotations that fix the "
+                        "(filtered) vocab, hence the embedding-table shape")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
+    from drn_tpu.data.pipeline import build_vocab
     from drn_tpu.train import build_model, init_state, make_optimizer
 
     cfg = get_config(args.config)
-    model = build_model(cfg)
+    da = {}
+    if args.glove_path:
+        da["glove_path"] = args.glove_path
+    if args.annotation_path:
+        da["annotation_path"] = args.annotation_path
+    if da:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
+
+    # The vocab sizes the embedding table; without it a GloVe-trained
+    # checkpoint's params would never fit the exported signature.
+    vocab = build_vocab(cfg.data, cfg.model)
+    model = build_model(cfg, pretrained_embeddings=vocab.embeddings)
     state = init_state(cfg, model, make_optimizer(cfg, 1), jax.random.key(0))
     params = state.params
     if args.checkpoint_dir:

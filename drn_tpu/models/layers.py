@@ -43,7 +43,10 @@ class ConvBlock(nn.Module):
             self.cfg.use_pallas_conv_blocks
             and jax.default_backend() == "tpu"
             and not self.is_initializing()
-            and self.kernel_size % 2 == 1
+            # the kernel's stride-2 pair-reshape taps support widths 1/3
+            # only (conv_block.py docstring) — wider odd kernels would
+            # index past the scratch rows
+            and self.kernel_size in (1, 3)
             and self.stride in (1, 2)
             and w_bytes <= 8 * 2**20  # stem (Cin=4096) stays on XLA
             # ragged time lengths (head towers' gap-padded concat, T=114)

@@ -93,7 +93,12 @@ def _forward(x, in_scale, in_bias, w, b, out_scale, out_bias, *,
     bsz, t, cin = x.shape
     k, _, cout = w.shape
     assert k % 2 == 1, f"fused_stem requires odd kernel width, got {k}"
-    chunk = chunk or min(cin, 1024)
+    if chunk is None:
+        # Largest lane-aligned divisor of Cin up to 1024, so any Cin the
+        # backbone gate admits (multiple of 128) has a valid chunking —
+        # e.g. Cin=1152 chunks at 128, not an assert.
+        chunk = next(c for c in (1024, 512, 256, 128, cin)
+                     if cin % c == 0)
     assert cin % chunk == 0
     nkc = cin // chunk
     # Batch-block size trades VMEM against weight traffic: the (K, Cin,

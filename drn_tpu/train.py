@@ -171,6 +171,41 @@ def put_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]):
     return {k: jax.device_put(v, bsh) for k, v in batch.items()}
 
 
+def _invalid_like(template: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """An all-invalid local batch shaped like `template` (masked rows only:
+    contributes nothing to the loss, but lets this process join every
+    collective)."""
+    local = {k: np.zeros_like(v) for k, v in template.items()}
+    local["gt_grid"] = np.broadcast_to(
+        np.asarray([0.0, 1.0], np.float32), template["gt_grid"].shape
+    ).copy()
+    local["query_mask"][:, 0] = True  # keep LSTM lengths >= 1
+    return local
+
+
+def lockstep_epoch(batches, epoch: int, skip: int, n_steps: int):
+    """Yield exactly `n_steps` local batches from `batches.epoch(epoch)`.
+
+    Multi-host SPMD requires every process to run the SAME number of train
+    steps — each step is a collective. Grain's ShardByJaxProcess shards can
+    differ by one record across processes, so a short-shard host would
+    exhaust its local iterator one batch early and leave the others blocked
+    in psum forever (evaluate() pads the same way in `_device_batches`).
+    The padding batches are all-invalid: the global step still trains on
+    the other hosts' real rows."""
+    it = iter(batches.epoch(epoch, skip_batches=skip))
+    template = None
+    for _ in range(n_steps):
+        local = next(it, None)
+        if local is None:
+            assert template is not None, (
+                "process shard is empty; dataset smaller than process count"
+            )
+            local = _invalid_like(template)
+        template = local
+        yield local
+
+
 def _default_eval_fn(cfg: ExperimentConfig, model: DRN,
                      mesh: Optional[Mesh], vocab=None):
     """Periodic val-split R@n,IoU@m during training (SURVEY.md §4.1
@@ -268,7 +303,15 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
             continue
         skip = max(start_step - step, 0)  # mid-epoch resume point
         step += skip
-        for batch in batches.epoch(epoch, skip_batches=skip):
+        if multiproc and presharded:
+            # Grain shards can be ragged across processes; run the global
+            # step count in lockstep (see lockstep_epoch).
+            epoch_batches = lockstep_epoch(
+                batches, epoch, skip, steps_per_epoch - skip
+            )
+        else:
+            epoch_batches = batches.epoch(epoch, skip_batches=skip)
+        for batch in epoch_batches:
             if multiproc and not presharded:
                 # The in-process iterator yields identical global batches
                 # on every process; keep only this process's row block

@@ -102,8 +102,38 @@ for _ in range(3):
 test_ds = make_dataset(cfg.data, cfg.model, split="test")
 results = evaluate(cfg, model, state.params, dataset=test_ds, mesh=mesh)
 
+# Ragged-shard lockstep: Grain's ShardByJaxProcess shards can differ by a
+# batch across processes. Simulate the short-shard host (pid 1 yields one
+# local batch fewer) and train via lockstep_epoch — without its padding,
+# pid 0 would block forever in its extra step's collective (deadlock
+# regression; the test harness would hit its timeout).
+from drn_tpu.train import lockstep_epoch
+
+
+class _ShardSim:
+    # Presharded-iterator stand-in: this process's row block of each
+    # global batch, truncated to n batches.
+    def __init__(self, inner, n):
+        self.inner, self.n = inner, n
+
+    def epoch(self, e, skip_batches=0):
+        it = self.inner.epoch(e, skip_batches=skip_batches)
+        for i, b in enumerate(it):
+            if i >= self.n:
+                return
+            bsz = b["valid"].shape[0]
+            lo = (bsz // nproc) * pid
+            yield {k: v[lo:lo + bsz // nproc] for k, v in b.items()}
+
+
+ragged_losses = []
+short = _ShardSim(batches, 1 if (nproc > 1 and pid == 1) else 2)
+for local in lockstep_epoch(short, 1, 0, 2):
+    state, m = train_step(state, put_batch(local, mesh))
+    ragged_losses.append(float(m["loss"]))
+
 out = {"pid": pid, "losses": losses, "results": results,
-       "n_test": len(test_ds)}
+       "ragged_losses": ragged_losses, "n_test": len(test_ds)}
 print("WORKER_JSON " + json.dumps(out), flush=True)
 """
 
@@ -176,6 +206,12 @@ def test_two_process_training_and_eval_match_single_process(single):
                                rtol=1e-4)
     _assert_metrics_match(by_pid[0]["results"], single["results"],
                           n_queries=single["n_test"])
+    # Ragged-shard lockstep completed (no collective deadlock) with
+    # identical replicated losses on both processes.
+    assert len(by_pid[0]["ragged_losses"]) == 2
+    np.testing.assert_allclose(by_pid[0]["ragged_losses"],
+                               by_pid[1]["ragged_losses"], rtol=1e-6)
+    assert np.isfinite(by_pid[0]["ragged_losses"]).all()
 
 
 @pytest.mark.slow

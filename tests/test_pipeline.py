@@ -126,3 +126,48 @@ def test_resume_reproduces_continuous_run(tmp_path):
     lb = jax.tree_util.tree_leaves(jax.device_get(s_resumed.params))
     for a, b in zip(la, lb):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_lockstep_epoch_pads_short_shards():
+    """lockstep_epoch yields exactly n_steps batches, padding the tail with
+    all-invalid rows that keep shapes/dtypes and one live query token."""
+    import numpy as np
+
+    from drn_tpu.train import lockstep_epoch
+
+    real = {
+        "features": np.ones((4, 8, 16), np.float32),
+        "word_ids": np.ones((4, 6), np.int32),
+        "query_mask": np.ones((4, 6), bool),
+        "gt_grid": np.full((4, 2), 3.0, np.float32),
+        "duration": np.full((4,), 12.0, np.float32),
+        "valid": np.ones((4,), bool),
+    }
+
+    class Short:
+        def epoch(self, e, skip_batches=0):
+            yield {k: v.copy() for k, v in real.items()}
+
+    got = list(lockstep_epoch(Short(), 0, 0, 3))
+    assert len(got) == 3
+    assert got[0]["valid"].all()
+    for pad in got[1:]:
+        assert not pad["valid"].any()
+        assert pad["features"].shape == real["features"].shape
+        assert (pad["gt_grid"] == np.asarray([0.0, 1.0])).all()
+        assert pad["query_mask"][:, 0].all()       # LSTM length >= 1
+        assert not pad["query_mask"][:, 1:].any()
+        assert pad["features"].dtype == np.float32
+
+
+def test_lockstep_epoch_empty_shard_raises():
+    import pytest as _pytest
+
+    from drn_tpu.train import lockstep_epoch
+
+    class Empty:
+        def epoch(self, e, skip_batches=0):
+            return iter(())
+
+    with _pytest.raises(AssertionError):
+        list(lockstep_epoch(Empty(), 0, 0, 1))
