@@ -55,7 +55,7 @@ def main():
     base = cfg.data.num_clips
 
     def loss_fn(params, b):
-        out = model.apply(p_ := params, b["features"], b["word_ids"],
+        out = model.apply(params, b["features"], b["word_ids"],
                           b["query_mask"])
         loss, metrics = drn_loss(cfg.model, cfg.train, out, locs, level_ids,
                                  b["gt_grid"], base, b["valid"])
