@@ -99,6 +99,38 @@ def main():
     t = chained_time(chain(full))
     log(f"fwd + bwd + Adam    : {t * 1e3:7.3f} ms")
 
+    # 4) bwd attribution: freeze one submodule's params via stop_gradient
+    # (the first-layer modules' inputs are non-differentiable, so freezing
+    # a subtree removes its whole backward slice); the delta vs full
+    # fwd+bwd is that module's bwd cost.
+    def frozen_loss(names):
+        def fn(params, b):
+            inner = dict(params["params"])
+            for n in names:
+                inner[n] = jax.tree.map(jax.lax.stop_gradient, inner[n])
+            return loss_fn({"params": inner}, b)
+
+        return fn
+
+    groups = {
+        "query_encoder": ["query_encoder"],
+        "backbone": ["backbone"],
+        "fusion+fpn": ["fusion_0", "fusion_1", "fusion_2", "fpn"],
+        "heads": ["heads"],
+        "iou_head": ["iou_head"],
+    }
+    for name, subtrees in groups.items():
+        lf = frozen_loss(subtrees)
+
+        def fwdbwd_frozen(st, b, lf=lf):
+            loss, grads = jax.value_and_grad(lf)(st.params, b)
+            gsum = sum(jnp.sum(g).astype(jnp.float32)
+                       for g in jax.tree_util.tree_leaves(grads))
+            return st, loss + 1e-9 * gsum
+
+        t = chained_time(chain(fwdbwd_frozen))
+        log(f"fwd+bwd w/o {name:13s}: {t * 1e3:7.3f} ms")
+
 
 if __name__ == "__main__":
     main()
