@@ -23,7 +23,7 @@ from drn_tpu.config import ExperimentConfig, get_config
 from drn_tpu.data.pipeline import make_batch_iterator, make_dataset
 from drn_tpu.models import DRN
 from drn_tpu.ops.nms import temporal_nms
-from drn_tpu.ops.metrics import recall_at_n
+from drn_tpu.ops.metrics import metric_name, recall_at_n
 from drn_tpu.parallel import (batch_sharding, feature_sharding,
                               mesh_process_count)
 from drn_tpu.utils.checkpoint import CheckpointManager
@@ -193,7 +193,7 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
         # allgather-sum would multiply them by process_count.)
         from jax.experimental import multihost_utils
 
-        keys = sorted(totals)
+        keys = sorted(totals, key=str)
         local = np.asarray([n_total] + [totals[k] for k in keys], np.float64)
         summed = np.asarray(
             multihost_utils.process_allgather(local)
@@ -201,8 +201,8 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
         n_total = float(summed[0])
         totals = {k: float(summed[i + 1]) for i, k in enumerate(keys)}
     return {
-        f"R@{n},IoU={m:g}": 100.0 * v / max(n_total, 1.0)
-        for (n, m), v in sorted(totals.items())
+        metric_name(k): 100.0 * v / max(n_total, 1.0)
+        for k, v in sorted(totals.items(), key=str)
     }
 
 

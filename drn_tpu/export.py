@@ -64,14 +64,16 @@ def export_eval_step(cfg: ExperimentConfig, model, params,
 
     raw_step = make_eval_step(cfg, model)
 
+    from drn_tpu.ops.metrics import metric_name
+
     @jax.jit
     def step(params, batch):
         counts, n_valid, segs_sec, keep, scores = raw_step(params, batch)
         # jax.export serializes only string-keyed dicts; also the friendlier
         # contract for a serving host than (n, iou) tuples.
         return {
-            "recall_counts": {f"R@{n},IoU={m:g}": v
-                              for (n, m), v in counts.items()},
+            "recall_counts": {metric_name(k): v
+                              for k, v in counts.items()},
             "n_valid": n_valid,
             "segments_seconds": segs_sec,
             "nms_keep": keep,

@@ -13,6 +13,21 @@ import jax.numpy as jnp
 
 from drn_tpu.ops.temporal import temporal_iou
 
+# Counts-dict key for the mean-top-1-IoU accumulator (kept alongside the
+# (n, m) recall keys so every consumer — device accumulation, cross-host
+# reduction, the NumPy oracle — treats it uniformly). Must stay
+# homogeneous with the (int, float) recall keys: jitted outputs are
+# pytrees and JAX sorts dict keys, so a string key would fail to compare.
+MIOU_KEY = (0, -1.0)
+
+
+def metric_name(key: Tuple) -> str:
+    """Human name for a counts-dict key: (1, 0.5) → "R@1,IoU=0.5"."""
+    if tuple(key) == MIOU_KEY:
+        return "mIoU"
+    n, m = key
+    return f"R@{n},IoU={m:g}"
+
 
 def recall_at_n(
     sorted_segments: jnp.ndarray,
@@ -44,4 +59,10 @@ def recall_at_n(
         for m in iou_thresholds:
             hit = jnp.any(in_top_n & (iou >= m), axis=1)
             out[(n, float(m))] = jnp.sum(hit & valid).astype(jnp.float32)
+    # mIoU: the top-1 surviving candidate's tIoU, summed over valid queries
+    # (standard companion metric to R@n; divide by n_valid outside, like
+    # the hit counts).
+    top1_iou = jnp.sum(jnp.where(rank == 1, iou, 0.0), axis=1)
+    out[MIOU_KEY] = jnp.sum(jnp.where(valid, top1_iou, 0.0)).astype(
+        jnp.float32)
     return out

@@ -81,9 +81,12 @@ def reference_postprocess(
     all_segs = np.zeros((b, top_k, 2))
     all_keep = np.zeros((b, top_k), bool)
     all_scores = np.zeros((b, top_k))
-    counts: Dict[Tuple[int, float], float] = {
+    from drn_tpu.ops.metrics import MIOU_KEY
+
+    counts: Dict[Tuple, float] = {
         (n, float(m)): 0.0 for n in ns for m in iou_thresholds
     }
+    counts[MIOU_KEY] = 0.0
     for q in range(b):
         # top-k by score (stable ties), then serial NMS in that order
         top = np.argsort(-score[q], kind="stable")[:top_k]
@@ -101,6 +104,8 @@ def reference_postprocess(
             for m in iou_thresholds:
                 if any(_tiou(segs_q[i], gt[q]) >= m for i in top_n):
                     counts[(n, float(m))] += 1.0
+        if kept_idx:  # mIoU: the top surviving candidate's tIoU
+            counts[MIOU_KEY] += _tiou(segs_q[kept_idx[0]], gt[q])
     return {
         "sorted_segments": all_segs,
         "keep": all_keep,

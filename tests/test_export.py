@@ -59,9 +59,10 @@ def test_export_roundtrip_matches_live_step(tmp_path):
     counts, n_valid, segs_sec, keep, scores = make_eval_step(cfg, model)(
         params, batch
     )
+    from drn_tpu.ops.metrics import metric_name
+
     want = {
-        "recall_counts": {f"R@{n},IoU={m:g}": v
-                          for (n, m), v in counts.items()},
+        "recall_counts": {metric_name(k): v for k, v in counts.items()},
         "n_valid": n_valid,
         "segments_seconds": segs_sec,
         "nms_keep": keep,

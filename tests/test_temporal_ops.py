@@ -131,3 +131,31 @@ def test_nms_deep_suppression_chain():
     assert got == want
     # alternating pattern: evens kept, odds suppressed
     assert got == list(range(0, k, 2))
+
+
+def test_miou_counts():
+    from drn_tpu.ops.metrics import MIOU_KEY
+
+    # query0 top-1 kept IoU = 1.0; query1 top-1 kept IoU = 0.0 (disjoint).
+    segs = jnp.array(
+        [
+            [[0.0, 10.0], [20.0, 30.0]],
+            [[50.0, 60.0], [0.0, 10.0]],
+        ]
+    )
+    keep = jnp.array([[True, True], [True, True]])
+    gt = jnp.array([[0.0, 10.0], [0.0, 10.0]])
+    out = recall_at_n(segs, keep, gt, ns=(1,), iou_thresholds=(0.5,))
+    assert float(out[MIOU_KEY]) == 1.0
+    # suppressed top candidate: mIoU reads the first SURVIVOR
+    keep2 = jnp.array([[False, True], [False, True]])
+    out2 = recall_at_n(segs, keep2, gt, ns=(1,), iou_thresholds=(0.5,))
+    # q0 survivor [20,30] iou 0; q1 survivor [0,10] iou 1
+    assert float(out2[MIOU_KEY]) == 1.0
+    # valid mask drops query 1
+    out3 = recall_at_n(segs, keep, gt, ns=(1,), iou_thresholds=(0.5,),
+                       valid=jnp.array([True, False]))
+    assert float(out3[MIOU_KEY]) == 1.0
+    out4 = recall_at_n(segs, keep, gt, ns=(1,), iou_thresholds=(0.5,),
+                       valid=jnp.array([False, True]))
+    assert float(out4[MIOU_KEY]) == 0.0
