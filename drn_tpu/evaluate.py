@@ -227,11 +227,19 @@ def predict(cfg: ExperimentConfig, model: DRN, params, batch):
 def main(argv=None):
     p = argparse.ArgumentParser(description="drn_tpu evaluator")
     p.add_argument("--config", default="charades_c3d")
-    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="Orbax checkpoint directory")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help=".pth in the parity schema — the one-command "
+                        "reference-checkpoint evaluation (converted on "
+                        "the fly via drn_tpu.parity)")
     p.add_argument("--split", default="test")
     p.add_argument("--feature-dir", default=None)
     p.add_argument("--annotation-path", default=None)
+    p.add_argument("--glove-path", default=None)
     args = p.parse_args(argv)
+    if not args.checkpoint_dir and not args.torch_checkpoint:
+        p.error("one of --checkpoint-dir / --torch-checkpoint is required")
 
     from drn_tpu.utils import enable_jit_cache
 
@@ -242,6 +250,8 @@ def main(argv=None):
         da["feature_dir"] = args.feature_dir
     if args.annotation_path:
         da["annotation_path"] = args.annotation_path
+    if args.glove_path:
+        da["glove_path"] = args.glove_path
     if da:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
 
@@ -252,13 +262,20 @@ def main(argv=None):
     model = build_model(cfg, pretrained_embeddings=vocab.embeddings)
     state = init_state(cfg, model, make_optimizer(cfg, 1),
                        jax.random.key(0))
-    ckpt = CheckpointManager(args.checkpoint_dir)
-    restored = ckpt.restore({"params": state.params}, partial=True)
-    if restored is None:
-        raise FileNotFoundError(f"no checkpoint in {args.checkpoint_dir}")
+    if args.torch_checkpoint:
+        from drn_tpu.parity.convert import load_torch_checkpoint
+
+        params = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
+    else:
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        restored = ckpt.restore({"params": state.params}, partial=True)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no checkpoint in {args.checkpoint_dir}")
+        params = restored["params"]
     dataset = make_dataset(cfg.data, cfg.model, vocab=vocab,
                            split=args.split)
-    results = evaluate(cfg, model, restored["params"], dataset=dataset,
+    results = evaluate(cfg, model, params, dataset=dataset,
                        split=args.split)
     log = MetricLogger(f"eval/{cfg.name}")
     log.log(0, results)

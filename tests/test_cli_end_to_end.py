@@ -87,3 +87,44 @@ def test_train_then_evaluate_cli(charades_fixture, tmp_path, capsys):
     assert len(pairs) == 6
     for _, _, pct in pairs:
         assert 0.0 <= float(pct) <= 100.0
+
+
+@pytest.mark.slow
+def test_evaluate_cli_torch_checkpoint(charades_fixture, tmp_path, capsys):
+    """evaluate.main --torch-checkpoint: the one-command reference-parity
+    evaluation (a parity-schema .pth straight onto the test split)."""
+    torch = pytest.importorskip("torch")
+    import dataclasses
+
+    from drn_tpu import config as config_mod, evaluate
+    from drn_tpu.parity.torch_model import TorchDRNParity
+
+    root, feat_dir = charades_fixture
+    tiny = config_mod.get_config("synthetic_tiny")
+    patched = tiny.replace(
+        name="charades_cli_pth",
+        model=dataclasses.replace(tiny.model, feature_dim=32),
+        data=dataclasses.replace(
+            tiny.data, dataset="charades", feature_type="c3d",
+            feature_fps=2.0, num_clips=32,
+        ),
+    )
+    config_mod._REGISTRY["charades_cli_pth"] = patched
+    torch.manual_seed(0)
+    tm = TorchDRNParity(patched.model, base_len=patched.data.num_clips)
+    pth = tmp_path / "ref.pth"
+    torch.save({"model": tm.state_dict()}, pth)
+    try:
+        evaluate.main([
+            "--config", "charades_cli_pth",
+            "--annotation-path", str(root / "charades_sta_{split}.txt"),
+            "--feature-dir", str(feat_dir),
+            "--torch-checkpoint", str(pth),
+            "--split", "test",
+        ])
+    finally:
+        config_mod._REGISTRY.pop("charades_cli_pth", None)
+    out = capsys.readouterr().out
+    pairs = re.findall(r"R@(\d),IoU=([\d.]+): ([\d.]+)", out)
+    assert len(pairs) == 6
+    assert "mIoU:" in out
