@@ -67,4 +67,8 @@ def test_time_sharded_eval_matches(setup):
     mesh = make_mesh(model_axis=1, time_axis=4)
     r_sp = evaluate(cfg, model, state.params, dataset=ds, mesh=mesh)
     for k in r_ref:
-        np.testing.assert_allclose(r_sp[k], r_ref[k], atol=1e-6), k
+        # Recall percentages come from integer hit counts — exact across
+        # shardings; mIoU is an fp32 IoU sum whose reduction order changes
+        # with the time sharding (observed ~7e-4 of a percent).
+        atol = 1e-2 if k == "mIoU" else 1e-6
+        np.testing.assert_allclose(r_sp[k], r_ref[k], atol=atol), k
