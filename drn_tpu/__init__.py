@@ -15,4 +15,4 @@ CLIs: `python -m drn_tpu.train`, `python -m drn_tpu.evaluate`,
 from drn_tpu.config import (ExperimentConfig, get_config,  # noqa: F401
                             list_configs)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
