@@ -59,7 +59,15 @@ class GroundingDataset:
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         ex = self.examples[i]
         cfg = self.cfg
-        feats, t_raw = self.reader.read_resampled(ex.video_id, cfg.num_clips)
+        try:
+            feats, t_raw = self.reader.read_resampled(
+                ex.video_id, cfg.num_clips)
+        except (FileNotFoundError, KeyError) as e:
+            raise FileNotFoundError(
+                f"annotations reference video {ex.video_id!r} but its "
+                f"features are missing from {cfg.feature_dir!r} ({e}) — "
+                f"check DataConfig.feature_dir / --feature-dir"
+            ) from e
         # Charades-STA annotations carry no duration; estimate from the
         # feature row count and the configured extraction rate.
         duration = (ex.duration if ex.duration > 0

@@ -125,3 +125,29 @@ def test_batch_padding_final_ragged_batch():
     assert len(bs) == 3  # 256 examples / 100
     assert bs[-1]["valid"].sum() == 56
     assert bs[-1]["features"].shape[0] == 100
+
+
+def test_missing_feature_file_names_video_and_dir(tmp_path):
+    """A missing per-video feature file fails with the video id and the
+    configured directory in the message (real-data day-1 diagnosability)."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from drn_tpu.config import DataConfig, ModelConfig
+    from drn_tpu.data.datasets import Example, GroundingDataset
+    from drn_tpu.data.features import FeatureReader
+    from drn_tpu.data.vocab import Vocab
+
+    cfg = DataConfig(dataset="charades", feature_dir=str(tmp_path),
+                     num_clips=8, max_query_len=4)
+    mcfg = ModelConfig(feature_dim=16, vocab_size=64)
+    ds = GroundingDataset(
+        cfg, mcfg, Vocab.hashed(64),
+        [Example("GHOST", "a sentence", 0.0, 2.0, duration=10.0)],
+        FeatureReader(str(tmp_path)),
+    )
+    with _pytest.raises(FileNotFoundError) as ei:
+        ds[0]
+    msg = str(ei.value)
+    assert "GHOST" in msg and str(tmp_path) in msg

@@ -88,3 +88,16 @@ def test_bad_feature_shape_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(url, bad)
     assert ei.value.code == 400
+
+
+def test_features_path_input(server, tmp_path):
+    url, cfg = server
+    rng = np.random.default_rng(7)
+    path = tmp_path / "vid.npy"
+    np.save(path, rng.normal(size=(50, cfg.model.feature_dim))
+            .astype(np.float32))
+    out = _post(url, {"query": "person walks in",
+                      "features_path": str(path), "duration": 25.0})
+    assert out["segments"]
+    for s, e in out["segments"]:
+        assert 0.0 <= s <= e <= 25.0 + 1e-3
