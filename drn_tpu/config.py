@@ -125,11 +125,14 @@ class MeshConfig:
 
     DP over a `data` axis is the parity requirement (the reference's only
     strategy is DDP). A `model` axis tensor-shards the wide conv/embed
-    kernels when >1.
+    kernels when >1; a `time` axis shards the clip dimension (sequence
+    parallelism). train.py's --model-axis/--time-axis flags override these
+    defaults; the data axis always takes the remaining devices.
     """
 
     data_axis: int = -1              # -1 → all remaining devices
     model_axis: int = 1
+    time_axis: int = 1
 
 
 @dataclass(frozen=True)

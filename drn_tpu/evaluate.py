@@ -212,9 +212,10 @@ def predict(cfg: ExperimentConfig, model: DRN, params, batch):
     don't re-trace."""
     step = get_eval_step(cfg, model)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    b = jb["features"].shape[0]
     if "gt_grid" not in jb:  # inference without labels
-        b = jb["features"].shape[0]
         jb["gt_grid"] = jnp.zeros((b, 2), jnp.float32)
+    if "valid" not in jb:  # independently optional — don't couple the two
         jb["valid"] = jnp.ones((b,), bool)
     _, _, segs_sec, keep, scores = step(params, jb)
     return (
@@ -260,13 +261,16 @@ def main(argv=None):
 
     vocab = build_vocab(cfg.data, cfg.model)
     model = build_model(cfg, pretrained_embeddings=vocab.embeddings)
-    state = init_state(cfg, model, make_optimizer(cfg, 1),
-                       jax.random.key(0))
     if args.torch_checkpoint:
         from drn_tpu.parity.convert import load_torch_checkpoint
 
+        # No init_state here: the Orbax restore below needs a template
+        # tree, but the torch conversion builds the full params itself —
+        # skipping init avoids a wasted full-model device compile.
         params = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
     else:
+        state = init_state(cfg, model, make_optimizer(cfg, 1),
+                           jax.random.key(0))
         ckpt = CheckpointManager(args.checkpoint_dir)
         restored = ckpt.restore({"params": state.params}, partial=True)
         if restored is None:

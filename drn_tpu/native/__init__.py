@@ -68,8 +68,14 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        have_lib = os.path.exists(_LIB)
+        have_src = os.path.exists(_SRC)
+        if not have_lib and not have_src:
+            return None  # nothing to load or build → NumPy fallback
+        # Rebuild only when the source exists and is newer; a prebuilt .so
+        # without its source (installed package) is used as-is.
+        if have_src and (
+            not have_lib or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
         ):
             if not _build():
                 return None

@@ -126,7 +126,10 @@ class GroundingService:
             except queue.Empty:
                 continue
             reqs = [first]
-            time.sleep(self.max_wait_s)  # gather window
+            if self._q.qsize() < self.batch_size - 1:
+                # gather window — skipped when a full batch is already
+                # queued (burst load shouldn't pay the wait per batch)
+                time.sleep(self.max_wait_s)
             while len(reqs) < self.batch_size:
                 try:
                     reqs.append(self._q.get_nowait())
@@ -233,14 +236,17 @@ def build_service(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None,
     vocab = build_vocab(cfg.data, cfg.model)
     model = build_model(cfg, pretrained_embeddings=vocab.embeddings)
     if params is None:
-        state = init_state(cfg, model, make_optimizer(cfg, 1),
-                           jax.random.key(0))
-        params = state.params
         if torch_checkpoint:
+            # Conversion builds the full tree; init_state's device compile
+            # is only needed as the Orbax restore template below.
             from drn_tpu.parity.convert import load_torch_checkpoint
 
             params = load_torch_checkpoint(torch_checkpoint, cfg.model)
-        elif checkpoint_dir:
+        else:
+            state = init_state(cfg, model, make_optimizer(cfg, 1),
+                               jax.random.key(0))
+            params = state.params
+        if checkpoint_dir and not torch_checkpoint:
             from drn_tpu.utils.checkpoint import CheckpointManager
 
             ckpt = CheckpointManager(checkpoint_dir)

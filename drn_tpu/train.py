@@ -215,6 +215,18 @@ def _default_eval_fn(cfg: ExperimentConfig, model: DRN,
     ships only train/test). Returns None when no split is available
     (e.g. annotation files absent in CI). `vocab` must be the training
     vocab so word ids match the embedding table."""
+    ann = cfg.data.annotation_path
+    if ann and "{split}" not in ann:
+        # A split-less annotation path loads the SAME file for every
+        # split, so "val"/"test" eval would silently score the training
+        # annotations — the exact leakage this function exists to avoid.
+        print(
+            f"[train] annotation_path {ann!r} has no '{{split}}' "
+            f"placeholder; skipping in-training eval (run "
+            f"drn_tpu.evaluate with the val/test file explicitly)",
+            flush=True,
+        )
+        return None
     splits = ([cfg.data.val_split] if cfg.data.val_split
               else ["val", "test"])
     dataset = None
@@ -369,10 +381,12 @@ def main(argv=None):
     p.add_argument("--init-from", default=None,
                    help="stage-1 checkpoint dir for stage-2 init")
     p.add_argument("--max-steps", type=int, default=None)
-    p.add_argument("--model-axis", type=int, default=1,
-                   help="TP axis size; data axis gets the rest")
-    p.add_argument("--time-axis", type=int, default=1,
-                   help="SP axis size: shard the clip axis (long grids)")
+    p.add_argument("--model-axis", type=int, default=None,
+                   help="TP axis size; data axis gets the rest "
+                        "(default: the config's MeshConfig.model_axis)")
+    p.add_argument("--time-axis", type=int, default=None,
+                   help="SP axis size: shard the clip axis (long grids; "
+                        "default: the config's MeshConfig.time_axis)")
     p.add_argument("--tensorboard-dir", default=None)
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from env "
@@ -414,7 +428,11 @@ def main(argv=None):
     if da:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
 
-    mesh = (make_mesh(model_axis=args.model_axis, time_axis=args.time_axis)
+    model_axis = (args.model_axis if args.model_axis is not None
+                  else cfg.mesh.model_axis)
+    time_axis = (args.time_axis if args.time_axis is not None
+                 else cfg.mesh.time_axis)
+    mesh = (make_mesh(model_axis=model_axis, time_axis=time_axis)
             if len(jax.devices()) > 1 else None)
     train(cfg, mesh=mesh, init_from=args.init_from, max_steps=args.max_steps)
 

@@ -171,3 +171,52 @@ def test_lockstep_epoch_empty_shard_raises():
 
     with _pytest.raises(AssertionError):
         list(lockstep_epoch(Empty(), 0, 0, 1))
+
+
+def test_predict_valid_and_gt_grid_independent():
+    """predict() fills 'gt_grid' and 'valid' independently — a batch with
+    GT but no valid mask must not KeyError (review finding: the guard
+    coupled the two keys)."""
+    import jax
+    import numpy as np
+
+    from drn_tpu.config import get_config
+    from drn_tpu.evaluate import predict
+    from drn_tpu.train import build_model, init_state, make_optimizer
+
+    cfg = get_config("synthetic_tiny")
+    model = build_model(cfg)
+    params = init_state(cfg, model, make_optimizer(cfg, 1),
+                        jax.random.key(0)).params
+    rng = np.random.default_rng(0)
+    b, t, f, l = 2, cfg.data.num_clips, cfg.model.feature_dim, \
+        cfg.data.max_query_len
+    batch = {
+        "features": rng.normal(size=(b, t, f)).astype(np.float32),
+        "word_ids": rng.integers(2, cfg.model.vocab_size, (b, l))
+        .astype(np.int32),
+        "query_mask": np.ones((b, l), bool),
+        "duration": np.full((b,), 10.0, np.float32),
+        "gt_grid": np.asarray([[1.0, 5.0], [2.0, 9.0]], np.float32),
+        # note: no "valid"
+    }
+    segs, keep, scores = predict(cfg, model, params, batch)
+    assert segs.shape[0] == b and np.isfinite(segs).all()
+
+
+def test_default_eval_fn_refuses_splitless_annotation(tmp_path, capsys):
+    """A split-less annotation_path would evaluate the TRAIN file as
+    'val'/'test' — _default_eval_fn must skip in-training eval instead."""
+    import dataclasses
+
+    from drn_tpu.config import get_config
+    from drn_tpu.train import _default_eval_fn, build_model
+
+    ann = tmp_path / "charades_sta_train.txt"
+    ann.write_text("VID00 0.0 2.0##a person\n", encoding="utf-8")
+    cfg = get_config("synthetic_tiny")
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, dataset="charades", annotation_path=str(ann)))
+    fn = _default_eval_fn(cfg, build_model(cfg), mesh=None)
+    assert fn is None
+    assert "skipping in-training eval" in capsys.readouterr().out
