@@ -92,6 +92,11 @@ class TrainConfig:
     # freezing details): True trains ONLY the IoU head from the stage-1
     # init; False (default) fine-tunes everything jointly.
     stage2_iou_only: bool = False
+    # Gradient accumulation: each optimizer update averages this many
+    # consecutive micro-batch gradients (optax.MultiSteps) — large
+    # effective batches on small slices without the memory. Note the LR
+    # schedule and checkpoint cadence still count MICRO-steps.
+    accum_steps: int = 1
     match_loss_weight: float = 1.0
     reg_loss_weight: float = 1.0
     iou_loss_weight: float = 1.0

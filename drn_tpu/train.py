@@ -68,6 +68,10 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
         opt = optax.multi_transform(
             {"train": opt, "freeze": optax.set_to_zero()}, labels
         )
+    if t.accum_steps > 1:
+        # Average accum_steps micro-batch gradients per optimizer update
+        # (large effective batch without the activation memory).
+        opt = optax.MultiSteps(opt, every_k_schedule=t.accum_steps)
     return opt
 
 
@@ -371,6 +375,8 @@ def main(argv=None):
                    help="stage 2: train only the IoU head (freeze the rest)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--accum-steps", type=int, default=None,
+                   help="average this many micro-batch grads per update")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--feature-dir", default=None)
     p.add_argument("--annotation-path", default=None)
@@ -405,6 +411,8 @@ def main(argv=None):
         tr["stage"] = args.stage
     if args.stage2_iou_only:
         tr["stage2_iou_only"] = True
+    if args.accum_steps is not None:
+        tr["accum_steps"] = args.accum_steps
     if args.epochs is not None:
         tr["num_epochs"] = args.epochs
     if args.lr is not None:

@@ -220,3 +220,49 @@ def test_default_eval_fn_refuses_splitless_annotation(tmp_path, capsys):
     fn = _default_eval_fn(cfg, build_model(cfg), mesh=None)
     assert fn is None
     assert "skipping in-training eval" in capsys.readouterr().out
+
+
+def test_gradient_accumulation_matches_single_step():
+    """accum_steps=2 over two IDENTICAL micro-batches applies exactly the
+    single-batch update (average of equal grads == the grad), and holds
+    params frozen until the accumulation boundary."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from drn_tpu.config import get_config
+    from drn_tpu.data.pipeline import BatchIterator
+    from drn_tpu.data.synthetic import SyntheticDataset
+    from drn_tpu.train import (build_model, init_state, make_optimizer,
+                               make_train_step)
+
+    cfg = get_config("synthetic_tiny")
+    ds = SyntheticDataset(cfg.data, cfg.model, num_examples=8)
+    batch = next(BatchIterator(ds, 8, shuffle=False).epoch(0))
+    jb = {k: np.asarray(v) for k, v in batch.items()}
+    model = build_model(cfg)
+
+    def leaves(p):
+        return jax.tree_util.tree_leaves(p)
+
+    # 1-step reference
+    s_ref = init_state(cfg, model, make_optimizer(cfg, 4),
+                       jax.random.key(0))
+    step_ref = make_train_step(cfg, model, mesh=None)
+    s_ref, _ = step_ref(s_ref, {k: v.copy() for k, v in jb.items()})
+
+    # 2 accumulated micro-steps on the same batch
+    cfg2 = cfg.replace(train=dataclasses.replace(cfg.train, accum_steps=2))
+    s_acc = init_state(cfg2, model, make_optimizer(cfg2, 4),
+                       jax.random.key(0))
+    p0 = jax.device_get(s_acc.params)
+    step_acc = make_train_step(cfg2, model, mesh=None)
+    s_acc, _ = step_acc(s_acc, {k: v.copy() for k, v in jb.items()})
+    # mid-accumulation: params unchanged
+    for a, b in zip(leaves(p0), leaves(jax.device_get(s_acc.params))):
+        np.testing.assert_array_equal(a, b)
+    s_acc, _ = step_acc(s_acc, {k: v.copy() for k, v in jb.items()})
+    for a, b in zip(leaves(jax.device_get(s_ref.params)),
+                    leaves(jax.device_get(s_acc.params))):
+        np.testing.assert_allclose(a, b, atol=1e-7)
