@@ -65,7 +65,9 @@ class DataConfig:
     # format carries no duration (Charades-STA): duration ≈ rows/fps.
     # tIoU/recall are scale-invariant, but segment outputs in seconds are
     # off by this factor if it doesn't match the feature extraction rate.
-    feature_fps: float = 1.0
+    # 0.0 = unconfigured: 1.0 is assumed WITH a one-time warning (see
+    # data.features.effective_feature_fps) — set explicitly to silence.
+    feature_fps: float = 0.0
     max_query_len: int = 20          # queries padded/truncated to this
     # Split used for in-training periodic eval. "" → try "val", then fall
     # back to "test" (Charades-STA has no val split; ActivityNet does).

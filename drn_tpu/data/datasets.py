@@ -29,7 +29,8 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from drn_tpu.config import DataConfig, ModelConfig
-from drn_tpu.data.features import FeatureReader
+from drn_tpu.data.features import (FeatureReader,
+                                   effective_feature_fps)
 from drn_tpu.data.vocab import Vocab, tokenize
 
 
@@ -56,6 +57,17 @@ class GroundingDataset:
     def __len__(self):
         return len(self.examples)
 
+    def __repr__(self):
+        # Stable across processes: Grain pins `repr(data_source)` inside
+        # its iterator checkpoints (get_state), so the default object repr
+        # (with a memory address) would make every cross-restart resume
+        # fail validation. Includes the identity-relevant knobs so a
+        # checkpoint from a *different* dataset is still rejected.
+        c = self.cfg
+        return (f"GroundingDataset(dataset={c.dataset!r}, "
+                f"features={c.feature_dir!r}, ann={c.annotation_path!r}, "
+                f"num_clips={c.num_clips}, n={len(self.examples)})")
+
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         ex = self.examples[i]
         cfg = self.cfg
@@ -69,9 +81,11 @@ class GroundingDataset:
                 f"check DataConfig.feature_dir / --feature-dir"
             ) from e
         # Charades-STA annotations carry no duration; estimate from the
-        # feature row count and the configured extraction rate.
+        # feature row count and the configured extraction rate (warns once
+        # when the rate was never configured).
         duration = (ex.duration if ex.duration > 0
-                    else float(t_raw) / cfg.feature_fps)
+                    else float(t_raw) / effective_feature_fps(
+                        cfg.feature_fps))
         ids, mask = self.vocab.encode(
             tokenize(ex.sentence, cfg.lowercase), cfg.max_query_len
         )

@@ -10,9 +10,36 @@ timestamps — fixed output shape keeps every downstream op static under jit.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional
 
 import numpy as np
+
+_warned_default_fps = False
+
+
+def effective_feature_fps(feature_fps: float) -> float:
+    """Feature rows per second to use for seconds-from-rows durations.
+
+    DataConfig.feature_fps == 0.0 means "not configured": assume 1 row/s
+    but warn ONCE — the assumed rate silently scales every user-facing
+    seconds output if it doesn't match the real extraction rate (tIoU /
+    recall are scale-invariant, so metrics don't catch it). Passing an
+    explicit rate (even 1.0) is the opt-in that silences this."""
+    global _warned_default_fps
+    if feature_fps > 0.0:
+        return feature_fps
+    if not _warned_default_fps:
+        _warned_default_fps = True
+        warnings.warn(
+            "DataConfig.feature_fps is unset; assuming 1.0 feature row per "
+            "second to derive video durations. Segment outputs in SECONDS "
+            "are wrong by exactly the ratio to the real extraction rate — "
+            "set feature_fps (e.g. --feature-fps) to the rate your "
+            "features were extracted at.",
+            stacklevel=2,
+        )
+    return 1.0
 
 
 def resample_features(feats: np.ndarray, num_clips: int) -> np.ndarray:

@@ -87,6 +87,7 @@ class GrainBatchIterator:
         self.shuffle = shuffle
         self.seed = seed
         self.worker_count = worker_count
+        self._live_it = None  # current epoch's DataLoaderIterator
 
     def __len__(self):
         import jax
@@ -95,15 +96,27 @@ class GrainBatchIterator:
         local = -(-len(self.dataset) // jax.process_count())
         return -(-local // self.batch_size)
 
-    def epoch(self, epoch_idx: int = 0, skip_batches: int = 0
+    def get_state(self) -> Optional[bytes]:
+        """Grain iterator state (JSON bytes) as of the last yielded batch
+        of the epoch currently being iterated; None between epochs.
+        Checkpoint it alongside the train state, then resume with
+        `epoch(..., resume_state=state)` — zero feature reads for the
+        already-consumed batches."""
+        return self._live_it.get_state() if self._live_it else None
+
+    def epoch(self, epoch_idx: int = 0, skip_batches: int = 0,
+              resume_state: Optional[bytes] = None
               ) -> Iterator[Dict[str, np.ndarray]]:
         # NOTE: a fresh DataLoader (and worker pool) per epoch keeps the
-        # per-epoch reshuffle + resume-replay semantics simple; the pool
-        # restart costs seconds against minutes of epoch time.
-        # `skip_batches` (mid-epoch resume) consumes-and-discards: Grain's
-        # shuffle order lives in its samplers, so the reads can't be
-        # skipped by index arithmetic here — but the caller skips FULL
-        # epochs arithmetically, so at most one partial epoch replays.
+        # per-epoch reshuffle semantics simple; the pool restart costs
+        # seconds against minutes of epoch time.
+        # Mid-epoch resume: `resume_state` (a get_state() blob saved with
+        # the checkpoint) restores Grain's own iterator position — no
+        # reads for the skipped batches. Without it, `skip_batches`
+        # consumes-and-discards (Grain's shuffle order lives in its
+        # samplers, so a stateless skip can't be index arithmetic); the
+        # caller skips FULL epochs arithmetically either way, so at most
+        # one partial epoch replays on a state-less resume.
         import grain.python as gp
 
         sampler = gp.IndexSampler(
@@ -119,10 +132,26 @@ class GrainBatchIterator:
             operations=[gp.Batch(self.batch_size, drop_remainder=False)],
             worker_count=self.worker_count,
         )
-        for i, batch in enumerate(loader):
-            if i < skip_batches:
-                continue
-            yield _pad_batch_rows(batch, self.batch_size)
+        it = iter(loader)
+        if resume_state is not None:
+            try:
+                it.set_state(resume_state)
+                skip_batches = 0  # the state already points past them
+            except Exception as e:  # stale/mismatched blob: replay instead
+                import warnings
+
+                warnings.warn(
+                    f"grain loader state rejected ({e}); falling back to "
+                    f"consume-and-discard skip of {skip_batches} batches"
+                )
+        self._live_it = it
+        try:
+            for i, batch in enumerate(it):
+                if i < skip_batches:
+                    continue
+                yield _pad_batch_rows(batch, self.batch_size)
+        finally:
+            self._live_it = None
 
 
 def make_batch_iterator(dataset, cfg: DataConfig, *, shuffle: bool,

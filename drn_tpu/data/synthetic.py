@@ -29,6 +29,13 @@ class SyntheticDataset:
         proj_rng = np.random.default_rng(1234)
         self.token_signal = proj_rng.normal(size=(v, f)).astype(np.float32)
         self._examples = [self._make(i) for i in range(num_examples)]
+        self._split = split
+
+    def __repr__(self):
+        # Stable across processes (Grain pins repr(data_source) in its
+        # iterator checkpoints — see GroundingDataset.__repr__).
+        return (f"SyntheticDataset(split={self._split!r}, "
+                f"seed={self.cfg.seed}, n={self.num_examples})")
 
     def _make(self, i: int) -> Dict[str, np.ndarray]:
         cfg, mcfg = self.cfg, self.mcfg

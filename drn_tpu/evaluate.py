@@ -26,7 +26,7 @@ from drn_tpu.ops.nms import temporal_nms
 from drn_tpu.ops.metrics import metric_name, recall_at_n
 from drn_tpu.parallel import (batch_sharding, feature_sharding,
                               mesh_process_count)
-from drn_tpu.utils.checkpoint import CheckpointManager
+from drn_tpu.utils.checkpoint import CheckpointManager, prefer_best_dir
 from drn_tpu.utils.logging import MetricLogger
 
 
@@ -41,15 +41,20 @@ def get_eval_step(cfg: ExperimentConfig, model: DRN,
 
     Keyed by id(model) but guarded by a weakref: a recycled id after GC
     (CPython reuses addresses) can't silently hand back a step compiled
-    for a dead model. Mesh participates by value (Mesh is hashable)."""
+    for a dead model. Mesh participates by value (Mesh is hashable).
+
+    LRU-bounded: evicting only the least-recently-used entry keeps the
+    live entries' compiled steps warm (a wholesale clear() would cause a
+    re-trace storm on the very next calls)."""
     import weakref
 
     key = (id(model), cfg.name, cfg.eval, mesh)
     ent = _EVAL_STEP_CACHE.get(key)
     if ent is not None and ent[1]() is model:
+        _EVAL_STEP_CACHE[key] = _EVAL_STEP_CACHE.pop(key)  # mark recent
         return ent[0]
-    if len(_EVAL_STEP_CACHE) > 16:  # bound: drop stale closures
-        _EVAL_STEP_CACHE.clear()
+    while len(_EVAL_STEP_CACHE) > 16:  # bound: drop least-recently-used
+        _EVAL_STEP_CACHE.pop(next(iter(_EVAL_STEP_CACHE)))
     step = make_eval_step(cfg, model, mesh)
     _EVAL_STEP_CACHE[key] = (step, weakref.ref(model))
     return step
@@ -238,9 +243,16 @@ def main(argv=None):
     p.add_argument("--feature-dir", default=None)
     p.add_argument("--annotation-path", default=None)
     p.add_argument("--glove-path", default=None)
+    p.add_argument("--latest-checkpoint", action="store_true",
+                   help="restore the latest step instead of the "
+                        "best-on-val checkpoint (the default when "
+                        "<checkpoint-dir>/best exists)")
     args = p.parse_args(argv)
     if not args.checkpoint_dir and not args.torch_checkpoint:
         p.error("one of --checkpoint-dir / --torch-checkpoint is required")
+    if args.checkpoint_dir and args.torch_checkpoint:
+        p.error("--checkpoint-dir and --torch-checkpoint are mutually "
+                "exclusive; pass exactly one parameter source")
 
     from drn_tpu.utils import enable_jit_cache
 
@@ -271,7 +283,9 @@ def main(argv=None):
     else:
         state = init_state(cfg, model, make_optimizer(cfg, 1),
                            jax.random.key(0))
-        ckpt = CheckpointManager(args.checkpoint_dir)
+        ckpt_dir = prefer_best_dir(args.checkpoint_dir,
+                                   prefer=not args.latest_checkpoint)
+        ckpt = CheckpointManager(ckpt_dir)
         restored = ckpt.restore({"params": state.params}, partial=True)
         if restored is None:
             raise FileNotFoundError(

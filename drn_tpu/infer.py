@@ -61,7 +61,8 @@ def main(argv=None):
 
     enable_jit_cache()
     from drn_tpu.config import get_config
-    from drn_tpu.data.features import resample_features
+    from drn_tpu.data.features import (effective_feature_fps,
+                                       resample_features)
     from drn_tpu.data.vocab import tokenize
     from drn_tpu.evaluate import predict
     from drn_tpu.train import build_model, init_state, make_optimizer
@@ -80,7 +81,8 @@ def main(argv=None):
     raw = load_features(args.features, args.video_id)
     feats = resample_features(raw, cfg.data.num_clips)
     duration = (args.duration if args.duration > 0
-                else float(raw.shape[0]) / cfg.data.feature_fps)
+                else float(raw.shape[0])
+                / effective_feature_fps(cfg.data.feature_fps))
 
     from drn_tpu.data.pipeline import build_vocab
 
@@ -97,11 +99,12 @@ def main(argv=None):
 
         params = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
     else:
-        from drn_tpu.utils.checkpoint import CheckpointManager
+        from drn_tpu.utils.checkpoint import (CheckpointManager,
+                                              prefer_best_dir)
 
         state = init_state(cfg, model, make_optimizer(cfg, 1),
                            jax.random.key(0))
-        ckpt = CheckpointManager(args.checkpoint_dir)
+        ckpt = CheckpointManager(prefer_best_dir(args.checkpoint_dir))
         restored = ckpt.restore({"params": state.params}, partial=True)
         if restored is None:
             raise FileNotFoundError(

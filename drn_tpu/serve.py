@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import queue
 import threading
 import time
@@ -38,7 +39,8 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from drn_tpu.config import ExperimentConfig, get_config
-from drn_tpu.data.features import resample_features
+from drn_tpu.data.features import (effective_feature_fps,
+                                   resample_features)
 from drn_tpu.data.vocab import Vocab, tokenize
 
 
@@ -61,7 +63,14 @@ class GroundingService:
 
     def __init__(self, cfg: ExperimentConfig, model, params,
                  vocab: Vocab, batch_size: Optional[int] = None,
-                 max_wait_ms: float = 5.0, top: int = 5):
+                 max_wait_ms: float = 5.0, top: int = 5,
+                 features_root: Optional[str] = None):
+        # When set, client 'features_path' values must resolve inside this
+        # directory (the CLI refuses a non-loopback bind without it —
+        # otherwise the endpoint is an arbitrary-file-read/probe primitive).
+        self.features_root = (
+            os.path.realpath(features_root) if features_root else None
+        )
         if batch_size:
             cfg = cfg.replace(
                 eval=dataclasses.replace(cfg.eval, batch_size=batch_size)
@@ -82,7 +91,16 @@ class GroundingService:
     def prepare(self, payload: Dict[str, Any]) -> _Request:
         d, m = self.cfg.data, self.cfg.model
         if "features_path" in payload:
-            raw = np.load(payload["features_path"]).astype(np.float32)
+            path = os.path.realpath(str(payload["features_path"]))
+            if self.features_root is not None and not (
+                path == self.features_root
+                or path.startswith(self.features_root + os.sep)
+            ):
+                raise ValueError(
+                    "features_path must be inside the configured "
+                    "features root"
+                )
+            raw = np.load(path).astype(np.float32)
         else:
             raw = np.asarray(payload["features"], np.float32)
         if raw.ndim != 2 or raw.shape[1] != m.feature_dim:
@@ -95,7 +113,7 @@ class GroundingService:
         )
         duration = float(payload.get("duration", 0.0))
         if duration <= 0.0:
-            duration = raw.shape[0] / d.feature_fps
+            duration = raw.shape[0] / effective_feature_fps(d.feature_fps)
         return _Request(feats, ids, mask, duration)
 
     def submit(self, req: _Request, timeout_s: float = 60.0
@@ -227,12 +245,18 @@ def build_service(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None,
                   torch_checkpoint: Optional[str] = None,
                   batch_size: Optional[int] = None,
                   max_wait_ms: float = 5.0, top: int = 5,
-                  params=None) -> GroundingService:
+                  params=None,
+                  features_root: Optional[str] = None) -> GroundingService:
     import jax
 
     from drn_tpu.data.pipeline import build_vocab
     from drn_tpu.train import build_model, init_state, make_optimizer
 
+    if checkpoint_dir and torch_checkpoint:
+        raise ValueError(
+            "checkpoint_dir and torch_checkpoint are mutually exclusive; "
+            "pass exactly one parameter source"
+        )
     vocab = build_vocab(cfg.data, cfg.model)
     model = build_model(cfg, pretrained_embeddings=vocab.embeddings)
     if params is None:
@@ -246,10 +270,11 @@ def build_service(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None,
             state = init_state(cfg, model, make_optimizer(cfg, 1),
                                jax.random.key(0))
             params = state.params
-        if checkpoint_dir and not torch_checkpoint:
-            from drn_tpu.utils.checkpoint import CheckpointManager
+        if checkpoint_dir:
+            from drn_tpu.utils.checkpoint import (CheckpointManager,
+                                                  prefer_best_dir)
 
-            ckpt = CheckpointManager(checkpoint_dir)
+            ckpt = CheckpointManager(prefer_best_dir(checkpoint_dir))
             restored = ckpt.restore({"params": params}, partial=True)
             if restored is None:
                 raise FileNotFoundError(f"no checkpoint in {checkpoint_dir}")
@@ -257,7 +282,7 @@ def build_service(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None,
             ckpt.close()
     return GroundingService(cfg, model, params, vocab,
                             batch_size=batch_size, max_wait_ms=max_wait_ms,
-                            top=top)
+                            top=top, features_root=features_root)
 
 
 def main(argv=None):
@@ -273,9 +298,20 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--top", type=int, default=5)
+    p.add_argument("--features-root", default=None,
+                   help="directory that client 'features_path' values must "
+                        "resolve inside; required for a non-loopback --host")
     args = p.parse_args(argv)
     if not args.checkpoint_dir and not args.torch_checkpoint:
         p.error("one of --checkpoint-dir / --torch-checkpoint is required")
+    if args.checkpoint_dir and args.torch_checkpoint:
+        p.error("--checkpoint-dir and --torch-checkpoint are mutually "
+                "exclusive; pass exactly one parameter source")
+    if args.host not in ("127.0.0.1", "localhost", "::1") \
+            and not args.features_root:
+        p.error("--features-root is required when binding a non-loopback "
+                "--host (otherwise 'features_path' reads arbitrary "
+                "server-side files)")
 
     from drn_tpu.utils import enable_jit_cache
 
@@ -293,7 +329,7 @@ def main(argv=None):
         cfg, checkpoint_dir=args.checkpoint_dir,
         torch_checkpoint=args.torch_checkpoint,
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
-        top=args.top,
+        top=args.top, features_root=args.features_root,
     )
     service.start()
     server = ThreadingHTTPServer((args.host, args.port),

@@ -33,7 +33,9 @@ from drn_tpu.models.drn import location_metadata
 from drn_tpu.models.losses import drn_loss
 from drn_tpu.parallel import (batch_sharding, feature_sharding, make_mesh,
                               mesh_process_count, param_shardings, replicate)
-from drn_tpu.utils.checkpoint import CheckpointManager
+from drn_tpu.utils.checkpoint import (BestCheckpointTracker,
+                                      CheckpointManager, load_loader_state,
+                                      prefer_best_dir, save_loader_state)
 from drn_tpu.utils.logging import MetricLogger
 
 
@@ -98,7 +100,10 @@ def init_state(cfg: ExperimentConfig, model: DRN, tx, rng) -> TrainState:
     feats = jnp.zeros((2, d.num_clips, cfg.model.feature_dim), jnp.float32)
     words = jnp.zeros((2, d.max_query_len), jnp.int32)
     mask = jnp.ones((2, d.max_query_len), bool)
-    params = model.init(rng, feats, words, mask)
+    # jit: ONE compiled program. Eager init dispatches hundreds of tiny
+    # ops — measured 150-350 s through this sandbox's TPU relay (each op
+    # is a fresh little compile), vs seconds for the single jitted one.
+    params = jax.jit(model.init)(rng, feats, words, mask)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
@@ -187,7 +192,8 @@ def _invalid_like(template: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return local
 
 
-def lockstep_epoch(batches, epoch: int, skip: int, n_steps: int):
+def lockstep_epoch(batches, epoch: int, skip: int, n_steps: int,
+                   resume_state=None):
     """Yield exactly `n_steps` local batches from `batches.epoch(epoch)`.
 
     Multi-host SPMD requires every process to run the SAME number of train
@@ -197,7 +203,8 @@ def lockstep_epoch(batches, epoch: int, skip: int, n_steps: int):
     in psum forever (evaluate() pads the same way in `_device_batches`).
     The padding batches are all-invalid: the global step still trains on
     the other hosts' real rows."""
-    it = iter(batches.epoch(epoch, skip_batches=skip))
+    kw = {"resume_state": resume_state} if resume_state is not None else {}
+    it = iter(batches.epoch(epoch, skip_batches=skip, **kw))
     template = None
     for _ in range(n_steps):
         local = next(it, None)
@@ -251,8 +258,20 @@ def _default_eval_fn(cfg: ExperimentConfig, model: DRN,
         results = evaluate(cfg, model, state.params, dataset=dataset,
                            mesh=mesh)
         log.log(epoch, results)
+        return selection_metric(results)
 
     return fn
+
+
+def selection_metric(results: Optional[Dict[str, float]]) -> Optional[float]:
+    """Scalar used for best-on-val checkpoint selection: R@1,IoU=0.5 (the
+    headline metric), falling back to the mean of R@1 rows, then of all."""
+    if not results:
+        return None
+    if "R@1,IoU=0.5" in results:
+        return float(results["R@1,IoU=0.5"])
+    r1 = [v for k, v in results.items() if k.startswith("R@1")]
+    return float(np.mean(r1 if r1 else list(results.values())))
 
 
 def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
@@ -272,13 +291,15 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
     tx = make_optimizer(cfg, steps_per_epoch)
     state = init_state(cfg, model, tx, jax.random.key(cfg.train.seed))
 
+    ckpt_dir = f"{cfg.train.checkpoint_dir}/{cfg.name}/stage{cfg.train.stage}"
     ckpt = CheckpointManager(
-        f"{cfg.train.checkpoint_dir}/{cfg.name}/stage{cfg.train.stage}",
+        ckpt_dir,
         keep=cfg.train.keep_checkpoints,
         save_interval_steps=cfg.train.checkpoint_every_steps,
     )
-    if init_from:  # stage-2 init from stage-1 params
-        src = CheckpointManager(init_from)
+    best: Optional[BestCheckpointTracker] = None  # created on first val
+    if init_from:  # stage-2 init from stage-1 params (best-on-val if kept)
+        src = CheckpointManager(prefer_best_dir(init_from))
         restored = src.restore({"params": state.params}, partial=True)
         if restored is not None:
             state = state.replace(params=restored["params"])
@@ -319,12 +340,24 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
             continue
         skip = max(start_step - step, 0)  # mid-epoch resume point
         step += skip
+        # Mid-epoch Grain resume: restore the iterator state saved with
+        # the checkpoint — zero feature reads for the skipped batches
+        # (falls back to consume-and-discard when no blob exists).
+        resume_state = None
+        if skip and step == start_step and hasattr(batches, "get_state"):
+            resume_state = load_loader_state(
+                ckpt_dir, start_step, jax.process_index()
+            )
         if multiproc and presharded:
             # Grain shards can be ragged across processes; run the global
             # step count in lockstep (see lockstep_epoch).
             epoch_batches = lockstep_epoch(
-                batches, epoch, skip, steps_per_epoch - skip
+                batches, epoch, skip, steps_per_epoch - skip,
+                resume_state=resume_state,
             )
+        elif resume_state is not None:
+            epoch_batches = batches.epoch(epoch, skip_batches=skip,
+                                          resume_state=resume_state)
         else:
             epoch_batches = batches.epoch(epoch, skip_batches=skip)
         for batch in epoch_batches:
@@ -349,21 +382,46 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
                      "opt_state": jax.device_get(state.opt_state),
                      "step": step},
                 )
+                # Data-iterator position for a read-free mid-epoch resume.
+                blob = (batches.get_state()
+                        if hasattr(batches, "get_state") else None)
+                if blob is not None:
+                    save_loader_state(ckpt_dir, step, blob,
+                                      jax.process_index(),
+                                      keep=cfg.train.keep_checkpoints)
             if max_steps is not None and step >= max_steps:
                 done = True
                 break
         if (eval_fn is not None and not done
                 and cfg.train.eval_every_epochs > 0
                 and (epoch + 1) % cfg.train.eval_every_epochs == 0):
-            eval_fn(state, epoch)
+            val = eval_fn(state, epoch)
+            # Best-on-val checkpoint (the reference keeps a "best" ckpt,
+            # SURVEY.md §3 Checkpointing); evaluate/infer/serve prefer it.
+            if val is not None:
+                if best is None:
+                    best = BestCheckpointTracker(ckpt_dir)
+                if best.update(step, jax.device_get(state.params),
+                               float(val)):
+                    log.log(step, {"epoch": epoch,
+                                   "best_val_metric": float(val)})
     ckpt.save(
         step,
         {"params": jax.device_get(state.params),
          "opt_state": jax.device_get(state.opt_state), "step": step},
         force=True,
     )
+    # A max_steps stop can land mid-epoch; persist the iterator position
+    # so a resume from this final save is read-free too.
+    blob = batches.get_state() if hasattr(batches, "get_state") else None
+    if blob is not None:
+        save_loader_state(ckpt_dir, step, blob, jax.process_index(),
+                          keep=cfg.train.keep_checkpoints)
     ckpt.wait()
     ckpt.close()
+    if best is not None:
+        best.wait()
+        best.close()
     return state
 
 
@@ -376,7 +434,12 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--accum-steps", type=int, default=None,
-                   help="average this many micro-batch grads per update")
+                   help="average this many micro-batch grads per optimizer "
+                        "update. NOTE: the LR schedule, --max-steps, "
+                        "checkpoint cadence, and log_every count "
+                        "MICRO-steps, so N accum-steps shrinks the "
+                        "effective number of optimizer updates per epoch "
+                        "by N unless you scale epochs/steps accordingly")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--feature-dir", default=None)
     p.add_argument("--annotation-path", default=None)

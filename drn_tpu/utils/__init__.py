@@ -1,12 +1,35 @@
+import functools
 import os
+import zlib
+
+
+@functools.lru_cache(None)
+def _host_tag() -> str:
+    """Short fingerprint of the host CPU feature set.
+
+    XLA:CPU AOT cache entries embed the compile machine's features; after
+    a sandbox migration a stable cache path would feed mismatched
+    executables (the loader warns 'could lead to ... SIGILL'). Keying the
+    directory by the flags line makes a migrated host start a fresh cache
+    instead."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return f"{zlib.crc32(line.encode()) & 0xffffffff:08x}"
+    except OSError:
+        pass
+    return "nocpuinfo"
 
 
 def enable_jit_cache(path: str = "/tmp/drn_tpu_jit_cache") -> None:
     """Persistent XLA compilation cache — first compiles are slow (minutes
     through this sandbox's tunnel); subsequent processes reuse artifacts
-    where the backend supports it."""
+    where the backend supports it. The directory is suffixed with a host
+    CPU fingerprint (see _host_tag)."""
     import jax
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          f"{path}_{_host_tag()}")
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])

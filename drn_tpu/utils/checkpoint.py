@@ -69,3 +69,110 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+BEST_SUBDIR = "best"
+_LOADER_SUBDIR = "loader_state"
+
+
+def save_loader_state(directory: str, step: int, blob: bytes,
+                      process_index: int = 0, keep: int = 3) -> None:
+    """Persist a data-loader iterator state blob (e.g. Grain's
+    `get_state()`) next to the Orbax step so a mid-epoch resume can skip
+    consumed batches without re-reading them. One file per process (each
+    process owns its own Grain shard iterator); prunes this process's
+    blobs beyond the newest `keep`."""
+    d = os.path.join(directory, _LOADER_SUBDIR)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{step}_p{process_index}.bin"), "wb") as f:
+        f.write(blob)
+    suffix = f"_p{process_index}.bin"
+    mine = sorted(
+        (int(name[: -len(suffix)]) for name in os.listdir(d)
+         if name.endswith(suffix) and name[: -len(suffix)].isdigit()),
+    )
+    for old in mine[:-keep]:
+        try:
+            os.remove(os.path.join(d, f"{old}{suffix}"))
+        except OSError:
+            pass
+
+
+def load_loader_state(directory: str, step: int,
+                      process_index: int = 0) -> Optional[bytes]:
+    path = os.path.join(directory, _LOADER_SUBDIR,
+                        f"{step}_p{process_index}.bin")
+    try:
+        with open(path, "rb") as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+def prefer_best_dir(directory: str, prefer: bool = True) -> str:
+    """Resolve a checkpoint directory for READING params: `<dir>/best` when
+    a best-on-val checkpoint exists there (the reference recipe's "best"
+    checkpoint, SURVEY.md §3 Checkpointing), else `directory` unchanged."""
+    best = os.path.join(directory, BEST_SUBDIR)
+    if prefer and os.path.isdir(best):
+        try:
+            if any(name.isdigit() for name in os.listdir(best)):
+                return best
+        except OSError:
+            pass
+    return directory
+
+
+class BestCheckpointTracker:
+    """Keeps the single best-on-val checkpoint under `<directory>/best`.
+
+    Stores {params, step, val_metric}; the metric survives restarts, so a
+    resumed run can't overwrite a better checkpoint from before the
+    restart with a worse one."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.join(os.path.abspath(directory),
+                                      BEST_SUBDIR)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1,
+                enable_async_checkpointing=True,
+            ),
+        )
+        self._best: Optional[float] = None
+        step = self._mgr.latest_step()
+        if step is not None:
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.PyTreeRestore(
+                    {"val_metric": 0.0}, partial_restore=True
+                ),
+            )
+            self._best = float(restored["val_metric"])
+
+    @property
+    def best_metric(self) -> Optional[float]:
+        return self._best
+
+    def update(self, step: int, params: Any, val_metric: float) -> bool:
+        """Persist {params, step, val_metric} iff this is a new best."""
+        if self._best is not None and float(val_metric) <= self._best:
+            return False
+        self._best = float(val_metric)
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(
+                {"params": params, "step": step,
+                 "val_metric": float(val_metric)}
+            ),
+            force=True,
+        )
+        return True
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()

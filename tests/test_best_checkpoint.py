@@ -1,0 +1,99 @@
+"""Best-on-val checkpoint selection (SURVEY.md §3 Checkpointing "per
+epoch / best"; VERDICT r2 item 5).
+
+train() keeps the single best-on-val params under <ckpt_dir>/best; the
+metric value survives restarts so a resumed run can't regress the best;
+evaluate/infer/serve read params via prefer_best_dir.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from drn_tpu.config import get_config
+from drn_tpu.utils.checkpoint import (BestCheckpointTracker,
+                                      CheckpointManager, prefer_best_dir)
+
+
+def test_tracker_keeps_best_and_survives_restart(tmp_path):
+    d = str(tmp_path / "ckpt")
+    params = {"w": np.arange(4.0, dtype=np.float32)}
+    tr = BestCheckpointTracker(d)
+    assert tr.best_metric is None
+    assert tr.update(1, params, 10.0)
+    assert not tr.update(2, {"w": params["w"] * 0}, 5.0)  # worse: no save
+    better = {"w": params["w"] + 7}
+    assert tr.update(3, better, 30.0)
+    tr.wait()
+    tr.close()
+
+    # Fresh process equivalent: metric restored, worse update refused.
+    tr2 = BestCheckpointTracker(d)
+    assert tr2.best_metric == 30.0
+    assert not tr2.update(4, params, 20.0)
+    tr2.close()
+
+    # prefer_best_dir resolves to the populated best subdir…
+    best = prefer_best_dir(d)
+    assert best.endswith("best")
+    # …and the params stored there are the best-epoch ones.
+    restored = CheckpointManager(best).restore(
+        {"params": {"w": np.zeros(4, np.float32)}}, partial=True
+    )
+    np.testing.assert_allclose(restored["params"]["w"], better["w"])
+    # opting out returns the directory unchanged
+    assert prefer_best_dir(d, prefer=False) == d
+
+
+def test_prefer_best_dir_without_best(tmp_path):
+    d = str(tmp_path)
+    assert prefer_best_dir(d) == d  # no best subdir -> unchanged
+    (tmp_path / "best").mkdir()
+    assert prefer_best_dir(d) == d  # empty best subdir -> unchanged
+
+
+@pytest.mark.slow
+def test_train_keeps_best_epoch_params(tmp_path):
+    """Scripted val metrics [1, 3, 2] across 3 epochs: best/ must hold the
+    epoch-2 params, not the final ones."""
+    from drn_tpu.train import train
+
+    cfg = get_config("synthetic_tiny")
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, num_epochs=3, checkpoint_dir=str(tmp_path),
+            checkpoint_every_steps=10_000, resume=False,
+        ),
+    )
+    metrics = iter([1.0, 3.0, 2.0])
+    snaps = []
+
+    def eval_fn(state, epoch):
+        snaps.append(jax.device_get(state.params))
+        return next(metrics)
+
+    final = train(cfg, eval_fn=eval_fn)
+    assert len(snaps) == 3
+
+    best_dir = prefer_best_dir(
+        f"{cfg.train.checkpoint_dir}/{cfg.name}/stage{cfg.train.stage}"
+    )
+    assert best_dir.endswith("best")
+    restored = CheckpointManager(best_dir).restore(
+        {"params": jax.device_get(final.params), "step": 0,
+         "val_metric": 0.0}
+    )
+    assert restored["val_metric"] == 3.0
+    want = snaps[1]  # epoch-2 snapshot (metric 3.0)
+    got = restored["params"]
+    leaves_w, leaves_g = (jax.tree_util.tree_leaves(t) for t in (want, got))
+    assert all(
+        np.allclose(a, b, atol=1e-6) for a, b in zip(leaves_w, leaves_g)
+    )
+    # and the final params are NOT the best ones (training moved on)
+    leaves_f = jax.tree_util.tree_leaves(jax.device_get(final.params))
+    assert not all(
+        np.allclose(a, b, atol=1e-6) for a, b in zip(leaves_g, leaves_f)
+    )

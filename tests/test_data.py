@@ -151,3 +151,25 @@ def test_missing_feature_file_names_video_and_dir(tmp_path):
         ds[0]
     msg = str(ei.value)
     assert "GHOST" in msg and str(tmp_path) in msg
+
+
+def test_effective_feature_fps_guard():
+    """Unset feature_fps (0.0) assumes 1.0 with ONE warning; an explicit
+    rate — even 1.0 — is silent (VERDICT r2: silent-wrong-seconds must be
+    impossible without an explicit opt-in)."""
+    import warnings
+
+    import drn_tpu.data.features as F
+
+    F._warned_default_fps = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert F.effective_feature_fps(0.0) == 1.0
+        assert F.effective_feature_fps(0.0) == 1.0  # warn only once
+    assert len(w) == 1 and "feature_fps" in str(w[0].message)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert F.effective_feature_fps(1.0) == 1.0
+        assert F.effective_feature_fps(24.0) == 24.0
+    assert not w

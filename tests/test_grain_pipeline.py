@@ -94,3 +94,103 @@ def test_make_batch_iterator_dispatch(ds):
         make_batch_iterator(ds, cfg_w, shuffle=False, seed=0),
         GrainBatchIterator,
     )
+
+
+class _CountingDS:
+    """Proxy dataset that records every __getitem__ record index."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.reads = []
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __getitem__(self, i):
+        self.reads.append(int(i))
+        return self.inner[int(i)]
+
+    def __repr__(self):  # stable: Grain pins repr(source) in get_state
+        return f"_CountingDS({self.inner!r})"
+
+
+def test_grain_state_resume_reads_nothing_twice(ds):
+    """get_state()/resume_state: the resumed epoch yields exactly the
+    uninterrupted run's remaining batches and re-reads ZERO records from
+    the consumed batches (VERDICT r2 item 7). Consumed-record identity is
+    derived from batch CONTENT — the raw read log also contains records
+    Grain prefetched for the next batch, which a resume legitimately
+    re-reads."""
+    # record index <- content fingerprint
+    fp = {ds[i]["features"].tobytes(): i for i in range(len(ds))}
+
+    counted = _CountingDS(ds)
+    it = GrainBatchIterator(counted, 8, shuffle=True, seed=5,
+                            worker_count=0)
+    gen = it.epoch(0)
+    first = [next(gen), next(gen)]
+    state = it.get_state()
+    assert state is not None
+    gen.close()
+    consumed = {
+        fp[b["features"][r].tobytes()]
+        for b in first for r in range(8) if b["valid"][r]
+    }
+    assert len(consumed) == 16
+
+    # uninterrupted reference
+    ref = list(GrainBatchIterator(ds, 8, shuffle=True, seed=5,
+                                  worker_count=0).epoch(0))
+
+    counted2 = _CountingDS(ds)
+    it2 = GrainBatchIterator(counted2, 8, shuffle=True, seed=5,
+                             worker_count=0)
+    rest = list(it2.epoch(0, resume_state=state))
+    assert it2.get_state() is None  # cleared after the epoch drains
+    assert len(first) + len(rest) == len(ref)
+    for got, want in zip(first + rest, ref):
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+    # the resumed run read ONLY the never-consumed records
+    assert set(counted2.reads) == set(range(len(ds))) - consumed
+
+
+@pytest.mark.slow
+def test_train_mid_epoch_resume_skips_reads_with_grain_state(
+        tmp_path, monkeypatch):
+    """End-to-end: train 3 steps (checkpoint each), restart; the resumed
+    run must not read any record consumed before the checkpoint."""
+    import drn_tpu.train as T
+
+    cfg = get_config("synthetic_tiny")
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, checkpoint_dir=str(tmp_path),
+            checkpoint_every_steps=1, num_epochs=1, eval_every_epochs=0,
+        ),
+    )
+
+    counters = []
+
+    def patched_iterator(dataset, dcfg, *, shuffle, seed):
+        counted = _CountingDS(dataset)
+        counters.append(counted)
+        return GrainBatchIterator(counted, dcfg.batch_size,
+                                  shuffle=shuffle, seed=seed,
+                                  worker_count=0)
+
+    monkeypatch.setattr(T, "make_batch_iterator", patched_iterator)
+
+    T.train(cfg, max_steps=3)
+    reads_before = set(counters[0].reads)
+    assert reads_before  # the first run did read
+
+    T.train(cfg, max_steps=6)  # resumes from step 3
+    reads_after = counters[1].reads
+    assert reads_after  # continued training reads the remaining records
+    # The 3 skipped batches (3 x 8 = 24 records) must NOT be replayed.
+    # Grain's prefetch threads may legitimately read ahead of the 3 newly
+    # consumed steps (up to the whole remaining epoch), so the invariant
+    # is on the consumed prefix: at most 256 - 24 distinct records can
+    # appear. A consume-and-discard replay reads all 256.
+    assert len(set(reads_after)) <= 256 - 3 * 8, len(set(reads_after))

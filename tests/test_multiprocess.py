@@ -22,11 +22,13 @@ import os
 import socket
 import subprocess
 import sys
+import tempfile
 
 import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CACHE_DIR = tempfile.mkdtemp(prefix="drn_mp_jit_cache_")
 
 WORKER = r"""
 import json, os, sys
@@ -51,7 +53,16 @@ if nproc > 1:
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=nproc,
         process_id=pid,
+        initialization_timeout=600,
     )
+    # Absorb process-startup skew BEFORE any Gloo collective: Gloo's
+    # rendezvous deadline is a hard-coded ~30 s, so a worker that reaches
+    # the first collective early must not burn that budget waiting for a
+    # sibling still importing/compiling. This barrier goes through the
+    # coordination service (generous timeout), not Gloo.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("drn_tpu_test_startup")
 assert jax.process_count() == nproc
 assert len(jax.devices()) == 8
 assert len(jax.local_devices()) == local_devices
@@ -116,7 +127,7 @@ class _ShardSim:
     def __init__(self, inner, n):
         self.inner, self.n = inner, n
 
-    def epoch(self, e, skip_batches=0):
+    def epoch(self, e, skip_batches=0, resume_state=None):
         it = self.inner.epoch(e, skip_batches=skip_batches)
         for i, b in enumerate(it):
             if i >= self.n:
@@ -145,14 +156,17 @@ def _free_port():
 
 
 def _run_workers(nproc: int, workers: int = 0, timeout: int = 600,
-                 attempts: int = 2):
-    """Launch the coordinated workers; one retry on a fresh port — under
-    full-suite CPU load the distributed-init barrier can time out."""
+                 attempts: int = 3):
+    """Launch the coordinated workers; retry on a fresh port — under
+    full-suite CPU load, compile-duration skew between the workers can
+    exceed Gloo's hard-coded ~30 s collective rendezvous deadline. The
+    shared persistent compile cache makes any retry compile in seconds
+    (near-zero skew), so attempt 2 is effectively deterministic."""
     last = None
     for _ in range(attempts):
         try:
             return _run_workers_once(nproc, workers, timeout)
-        except AssertionError as e:
+        except (AssertionError, subprocess.TimeoutExpired) as e:
             last = e
     raise last
 
@@ -162,6 +176,12 @@ def _run_workers_once(nproc: int, workers: int, timeout: int):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_PLATFORMS"] = "cpu"
+    # Shared across both workers and across attempts: a retry after a
+    # rendezvous flake recompiles everything from cache in ~seconds.
+    # Per-pytest-run directory (NOT a stable /tmp path): XLA:CPU AOT
+    # entries embed host CPU features, and a cache surviving a sandbox
+    # migration can feed a mismatched executable (SIGILL risk).
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(port), str(nproc), str(i),

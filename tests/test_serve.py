@@ -101,3 +101,43 @@ def test_features_path_input(server, tmp_path):
     assert out["segments"]
     for s, e in out["segments"]:
         assert 0.0 <= s <= e <= 25.0 + 1e-3
+
+
+def test_features_root_restricts_paths(server, tmp_path):
+    """With features_root set, paths outside it are rejected (400), paths
+    inside it load (ADVICE r2: features_path as arbitrary-file-read)."""
+    url, cfg = server
+    service_cls_root = tmp_path / "allowed"
+    service_cls_root.mkdir()
+    inside = service_cls_root / "vid.npy"
+    rng = np.random.default_rng(8)
+    np.save(inside, rng.normal(size=(50, cfg.model.feature_dim))
+            .astype(np.float32))
+    outside = tmp_path / "secret.npy"
+    np.save(outside, rng.normal(size=(50, cfg.model.feature_dim))
+            .astype(np.float32))
+
+    # Exercise the root check directly on an (unstarted) service's
+    # prepare() — the module-scoped fixture server runs without a root.
+    # The check fires before model/vocab are touched.
+    from drn_tpu.serve import GroundingService
+
+    svc = GroundingService(cfg, None, None, None,
+                           features_root=str(service_cls_root))
+    with pytest.raises(ValueError, match="features root"):
+        svc.prepare({"query": "x", "features_path": str(outside)})
+    traversal = service_cls_root / ".." / "secret.npy"
+    with pytest.raises(ValueError, match="features root"):
+        svc.prepare({"query": "x", "features_path": str(traversal)})
+
+
+def test_serve_cli_guards(tmp_path):
+    """CLI: non-loopback bind without --features-root refuses to start;
+    both checkpoint sources refuse to start."""
+    from drn_tpu import serve
+
+    with pytest.raises(SystemExit):
+        serve.main(["--checkpoint-dir", str(tmp_path), "--host", "0.0.0.0"])
+    with pytest.raises(SystemExit):
+        serve.main(["--checkpoint-dir", str(tmp_path),
+                    "--torch-checkpoint", str(tmp_path / "x.pth")])
