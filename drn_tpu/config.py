@@ -96,8 +96,10 @@ class TrainConfig:
     stage2_iou_only: bool = False
     # Gradient accumulation: each optimizer update averages this many
     # consecutive micro-batch gradients (optax.MultiSteps) — large
-    # effective batches on small slices without the memory. Note the LR
-    # schedule and checkpoint cadence still count MICRO-steps.
+    # effective batches on small slices without the memory. The LR decay
+    # boundaries are scaled so decay happens at the configured EPOCH
+    # regardless of accum_steps; checkpoint cadence, log_every and
+    # --max-steps still count MICRO-steps.
     accum_steps: int = 1
     match_loss_weight: float = 1.0
     reg_loss_weight: float = 1.0

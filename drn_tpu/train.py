@@ -45,8 +45,14 @@ class TrainState(train_state.TrainState):
 
 def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
     t = cfg.train
+    # Inside optax the schedule is indexed by OPTIMIZER updates (MultiSteps
+    # advances the inner chain once per accumulation cycle), so the
+    # per-epoch boundaries must be divided by accum_steps — otherwise
+    # accumulation silently delays every LR decay by that factor.
+    updates_per_epoch = steps_per_epoch / max(t.accum_steps, 1)
     boundaries = {
-        int(e * steps_per_epoch): t.lr_decay_rate for e in t.lr_decay_epochs
+        max(int(e * updates_per_epoch), 1): t.lr_decay_rate
+        for e in t.lr_decay_epochs
     }
     sched = optax.piecewise_constant_schedule(t.learning_rate, boundaries)
     opt = optax.chain(
@@ -435,11 +441,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--accum-steps", type=int, default=None,
                    help="average this many micro-batch grads per optimizer "
-                        "update. NOTE: the LR schedule, --max-steps, "
-                        "checkpoint cadence, and log_every count "
-                        "MICRO-steps, so N accum-steps shrinks the "
-                        "effective number of optimizer updates per epoch "
-                        "by N unless you scale epochs/steps accordingly")
+                        "update. LR decay epochs are honored regardless; "
+                        "NOTE --max-steps, checkpoint cadence, and "
+                        "log_every count MICRO-steps, and N accum-steps "
+                        "means N× fewer optimizer updates per epoch")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--feature-dir", default=None)
     p.add_argument("--annotation-path", default=None)

@@ -266,3 +266,43 @@ def test_gradient_accumulation_matches_single_step():
     for a, b in zip(leaves(jax.device_get(s_ref.params)),
                     leaves(jax.device_get(s_acc.params))):
         np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+def test_lr_decay_epoch_honored_under_accumulation():
+    """optax schedules count OPTIMIZER updates; with accum_steps=k each
+    epoch produces steps_per_epoch/k of them, so the decay boundary must
+    be scaled — otherwise decay lands k epochs late (ADVICE r2). Adam's
+    update magnitude ~= lr for a constant gradient, which makes the decay
+    point directly observable."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from drn_tpu.config import get_config
+    from drn_tpu.train import make_optimizer
+
+    spe = 4  # micro-steps per epoch
+    cfg = get_config("synthetic_tiny")
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, accum_steps=2, learning_rate=1e-3,
+        lr_decay_epochs=(1,), lr_decay_rate=0.1,
+    ))
+    tx = make_optimizer(cfg, steps_per_epoch=spe)
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 0.5)}
+    opt_state = tx.init(params)
+    deltas = []
+    for _ in range(2 * spe):  # 2 epochs of micro-steps = 4 optimizer updates
+        updates, opt_state = tx.update(grads, opt_state, params)
+        step = float(np.abs(np.asarray(updates["w"])).max())
+        if step > 0:  # MultiSteps emits zero updates on accumulation steps
+            deltas.append(step)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert len(deltas) == 4
+    # epoch 1 (updates 1-2) at full lr; epoch 2 (updates 3-4) decayed 10x
+    np.testing.assert_allclose(deltas[0], 1e-3, rtol=0.2)
+    np.testing.assert_allclose(deltas[1], 1e-3, rtol=0.2)
+    np.testing.assert_allclose(deltas[2], 1e-4, rtol=0.2)
+    np.testing.assert_allclose(deltas[3], 1e-4, rtol=0.2)
