@@ -157,7 +157,7 @@ class QueryEncoder(nn.Module):
                 # (30.4 vs 28.9 ms/train-step at B=384) — the reverse-mode
                 # scan dominates the encoder's 6 ms backward share and
                 # unrolling inflates its residuals. Keep the plain scan.
-                _, outs = jax.lax.scan(step, init, xproj)    # (L, 2, B, H)
+                _, outs = jax.lax.scan(jax.checkpoint(step), init, xproj)
                 fwd = jnp.moveaxis(outs[:, 0], 0, 1)         # (B, L, H)
                 bwd = flip(jnp.moveaxis(outs[:, 1], 0, 1))
                 h = jnp.concatenate([fwd, bwd], axis=-1)

@@ -89,6 +89,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="charades_c3d_batched_eval")
     p.add_argument("--iters", type=int, default=24)
+    p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--probes", default="fwd,grad,full,adam")
     args = p.parse_args()
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -103,6 +104,9 @@ def main():
 
     probes = args.probes.split(",")
     cfg = get_config(args.config)
+    if args.batch_size:
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, batch_size=args.batch_size))
     if "fp32" in probes:
         cfg = cfg.replace(
             model=dataclasses.replace(cfg.model, dtype="float32"))
