@@ -107,17 +107,64 @@ def _init_params(cfg, model, rng, keep_on_host=False):
     return jax.device_put(host, jax.devices()[0])
 
 
-def _aot_compile(jitted, argsets, labels, serial=False):
+class _Stalled(Exception):
+    pass
+
+
+def _with_redispatch(fn, timeout: float, tries: int, label: str):
+    """Run a blocking relay-bound call in a daemon thread; if no result
+    within `timeout` s, ABANDON the stuck thread and re-dispatch the call.
+
+    The relay sometimes drops a request outright — the caller then blocks
+    forever. Re-issuing the identical request from a fresh thread has
+    always succeeded on this sandbox. Safe for compiles (idempotent) and
+    for our timed executions (no donated buffers; a late-landing duplicate
+    just produces an unused result). Daemon threads don't block interpreter
+    exit, so an abandoned stuck call can't hang the process at shutdown."""
+    import queue
+    import threading
+
+    for attempt in range(tries):
+        q: "queue.Queue" = queue.Queue()
+
+        def worker():
+            try:
+                q.put((True, fn()))
+            except BaseException as e:  # surfaced to the caller below
+                q.put((False, e))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            ok, val = q.get(timeout=timeout)
+        except queue.Empty:
+            phase(f"{label}: no response in {timeout:.0f}s (likely dropped "
+                  f"relay request); re-dispatching "
+                  f"({attempt + 1}/{tries})")
+            continue
+        if ok:
+            return val
+        raise val
+    raise _Stalled(f"{label}: {tries} dispatches all stalled")
+
+
+def _aot_compile(jitted, argsets, labels, serial=False,
+                 compile_timeout: float = 420.0):
     """Compile several (args, kwargs) variants of one jitted fn, remote
-    compiles overlapped in threads (the relay RPC wait releases the GIL).
-    Falls back to serial compilation if any parallel compile fails."""
+    compiles overlapped in threads (the relay RPC wait releases the GIL),
+    each with dropped-request re-dispatch. Falls back to serial
+    compilation if the parallel pass fails."""
     lowered = [jitted.lower(*a, **kw) for a, kw in argsets]
     if not serial:
         from concurrent.futures import ThreadPoolExecutor
 
         try:
             with ThreadPoolExecutor(len(lowered)) as ex:
-                futs = [ex.submit(l.compile) for l in lowered]
+                futs = [
+                    ex.submit(_with_redispatch, l.compile, compile_timeout,
+                              2, f"compile {lb}")
+                    for l, lb in zip(lowered, labels)
+                ]
                 out = [f.result() for f in futs]
             for lb in labels:
                 phase(f"compiled (parallel): {lb}")
@@ -127,7 +174,8 @@ def _aot_compile(jitted, argsets, labels, serial=False):
             lowered = [jitted.lower(*a, **kw) for a, kw in argsets]
     out = []
     for l, lb in zip(lowered, labels):
-        out.append(l.compile())
+        out.append(_with_redispatch(l.compile, compile_timeout, 2,
+                                    f"compile {lb}"))
         phase(f"compiled: {lb}")
     return out
 
@@ -207,17 +255,30 @@ def measure_tpu_qps(cfg, iters: int, warmup: int = 2, serial_compile=False
 _PEAK_FLOPS = 197e12
 
 
-def _chained_time(run_k, iters: int, warmup: int = 2, reps: int = 5):
-    """Median-of-reps K-chained timing; returns (per_step_s, t_k1_s)."""
+def _chained_time(run_k, iters: int, warmup: int = 2, reps: int = 5,
+                  exec_timeout: float = 90.0):
+    """Median-of-reps K-chained timing; returns (per_step_s, t_k1_s).
+
+    Every fetch goes through the dropped-request re-dispatcher; a sample
+    that needed a re-dispatch is discarded and re-measured (its wall time
+    includes the stall, not the device)."""
+
+    def guarded(k):
+        return _with_redispatch(lambda: run_k(k), exec_timeout, 4,
+                                f"execute k={k}")
 
     def timed(k):
         for _ in range(warmup):
-            run_k(k)  # scalar fetch inside run_k forces completion
+            guarded(k)  # scalar fetch inside run_k forces completion
         samples = []
-        for _ in range(reps):
+        budget = reps * 3
+        while len(samples) < reps and budget > 0:
+            budget -= 1
             t0 = time.perf_counter()
-            run_k(k)
-            samples.append(time.perf_counter() - t0)
+            guarded(k)
+            dt = time.perf_counter() - t0
+            if dt < exec_timeout:  # clean sample (no stall embedded)
+                samples.append(dt)
         samples.sort()
         return samples[len(samples) // 2]
 
