@@ -583,9 +583,12 @@ def _run_attempt(cmd, timeout, stall_timeout):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="charades_c3d_batched_eval")
-    p.add_argument("--iters", type=int, default=96,
+    p.add_argument("--iters", type=int, default=None,
                    help="chained steps per timing; the flagship eval step "
-                        "is sub-ms, so long chains keep relay jitter small")
+                        "is sub-ms, so long chains keep relay jitter small "
+                        "(default 96; 2048 in --latency mode — a B=1 step "
+                        "is ~140 us, so shorter chains are jitter-limited: "
+                        "k=257 once 'measured' 21.7 us)")
     p.add_argument("--batch-size", type=int, default=None,
                    help="override eval+train batch size (B-sweep)")
     p.add_argument("--baseline-queries", type=int, default=32,
@@ -618,6 +621,8 @@ def main():
                         "compiles ran 10-30 s warm but relay hiccups of "
                         "~240 s have been observed")
     args = p.parse_args()
+    if args.iters is None:
+        args.iters = 2048 if args.latency else 96
 
     # Persistent jit cache: only helps CPU-backend runs (axon executables
     # are not serialized into it — verified round 3), but those are exactly
