@@ -111,7 +111,8 @@ class _Stalled(Exception):
     pass
 
 
-def _with_redispatch(fn, timeout: float, tries: int, label: str):
+def _with_redispatch(fn, timeout: float, tries: int, label: str,
+                     heartbeat: float = 45.0):
     """Run a blocking relay-bound call in a daemon thread; if no result
     within `timeout` s, ABANDON the stuck thread and re-dispatch the call.
 
@@ -120,40 +121,59 @@ def _with_redispatch(fn, timeout: float, tries: int, label: str):
     always succeeded on this sandbox. Safe for compiles (idempotent) and
     for our timed executions (no donated buffers; a late-landing duplicate
     just produces an unused result). Daemon threads don't block interpreter
-    exit, so an abandoned stuck call can't hang the process at shutdown."""
+    exit, so an abandoned stuck call can't hang the process at shutdown.
+
+    Two details keep this compatible with the OUTER stall watchdog
+    (_run_attempt kills the child after --stall-timeout s of silence):
+    a heartbeat line every `heartbeat` s while waiting, so the outer never
+    mistakes a guarded wait for a hang; and ONE result queue shared across
+    dispatches, so a slow-but-not-dropped first request that lands during
+    the second dispatch's wait (relay hiccups of ~240 s have been observed)
+    is still accepted rather than thrown away."""
     import queue
     import threading
 
-    for attempt in range(tries):
-        q: "queue.Queue" = queue.Queue()
+    q: "queue.Queue" = queue.Queue()
 
-        def worker():
-            try:
-                q.put((True, fn()))
-            except BaseException as e:  # surfaced to the caller below
-                q.put((False, e))
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+    def worker():
         try:
-            ok, val = q.get(timeout=timeout)
-        except queue.Empty:
-            phase(f"{label}: no response in {timeout:.0f}s (likely dropped "
-                  f"relay request); re-dispatching "
-                  f"({attempt + 1}/{tries})")
-            continue
-        if ok:
-            return val
-        raise val
+            q.put((True, fn()))
+        except BaseException as e:  # surfaced to the caller below
+            q.put((False, e))
+
+    for attempt in range(tries):
+        threading.Thread(target=worker, daemon=True).start()
+        waited = 0.0
+        while waited < timeout:
+            slice_s = min(heartbeat, timeout - waited)
+            try:
+                ok, val = q.get(timeout=slice_s)
+            except queue.Empty:
+                waited += slice_s
+                if waited < timeout:
+                    phase(f"{label}: waiting {waited:.0f}/{timeout:.0f}s "
+                          f"(dispatch {attempt + 1}/{tries})")
+                continue
+            if ok:
+                return val
+            raise val
+        phase(f"{label}: no response in {timeout:.0f}s (likely dropped "
+              f"relay request); re-dispatching ({attempt + 1}/{tries})")
     raise _Stalled(f"{label}: {tries} dispatches all stalled")
 
 
 def _aot_compile(jitted, argsets, labels, serial=False,
-                 compile_timeout: float = 420.0):
+                 compile_timeout: float = 240.0):
     """Compile several (args, kwargs) variants of one jitted fn, remote
     compiles overlapped in threads (the relay RPC wait releases the GIL),
     each with dropped-request re-dispatch. Falls back to serial
-    compilation if the parallel pass fails."""
+    compilation if the parallel pass fails.
+
+    compile_timeout matches the longest observed not-dropped relay hiccup
+    (~240 s); with 2 dispatches the worst-case guarded wait (480 s) still
+    fits inside the default --attempt-timeout, and the shared result queue
+    in _with_redispatch means a hiccup just past the threshold loses
+    nothing."""
     lowered = [jitted.lower(*a, **kw) for a, kw in argsets]
     if not serial:
         from concurrent.futures import ThreadPoolExecutor
@@ -279,6 +299,11 @@ def _chained_time(run_k, iters: int, warmup: int = 2, reps: int = 5,
             dt = time.perf_counter() - t0
             if dt < exec_timeout:  # clean sample (no stall embedded)
                 samples.append(dt)
+        if not samples:
+            raise _Stalled(
+                f"execute k={k}: no clean timing sample in {reps * 3} "
+                f"tries — every rep embedded a relay stall"
+            )
         samples.sort()
         return samples[len(samples) // 2]
 
@@ -470,8 +495,9 @@ def inner_main(args):
 
     # Torch baseline FIRST: it needs no TPU and is cheap, so the contract
     # line right after the eval measurement can include vs_baseline.
+    # Latency mode never reports vs_baseline — don't burn time measuring it.
     ref_qps = None
-    if not args.skip_torch:
+    if not args.skip_torch and not args.latency:
         ref_qps = _measure_torch_baseline(args, cfg)
 
     phase("importing jax / initializing backend")
@@ -531,53 +557,21 @@ def _run_attempt(cmd, timeout, stall_timeout):
     """Run one inner attempt, streaming output. Returns the last contract
     ('{'-prefixed stdout) line seen, or None. Kills the child on overall
     timeout or on stall (no output for stall_timeout s — the signature of
-    a dropped remote compile, which otherwise waits forever)."""
-    import subprocess
-    import threading
+    a dropped remote compile, which otherwise waits forever; the watchdog
+    itself is shared with scripts/tpu_run.py)."""
+    from drn_tpu.utils.subproc import run_with_watchdog
 
-    state = {"last_activity": time.time(), "contract": None}
-    lock = threading.Lock()
+    state = {"contract": None}
 
-    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True, bufsize=1)
+    def on_line(line, is_stdout):
+        if is_stdout and line.startswith("{"):
+            state["contract"] = line.strip()
+        else:
+            sys.stderr.write(line)
+            sys.stderr.flush()
 
-    def pump(stream, is_stdout):
-        for line in stream:
-            with lock:
-                state["last_activity"] = time.time()
-                if is_stdout and line.startswith("{"):
-                    state["contract"] = line.strip()
-            if not is_stdout or not line.startswith("{"):
-                sys.stderr.write(line)
-                sys.stderr.flush()
-
-    threads = [
-        threading.Thread(target=pump, args=(proc.stdout, True), daemon=True),
-        threading.Thread(target=pump, args=(proc.stderr, False), daemon=True),
-    ]
-    for t in threads:
-        t.start()
-
-    t_start = time.time()
-    why = None
-    while proc.poll() is None:
-        now = time.time()
-        with lock:
-            idle = now - state["last_activity"]
-        if now - t_start > timeout:
-            why = f"attempt timeout ({timeout}s)"
-        elif idle > stall_timeout:
-            why = (f"stalled {stall_timeout}s with no output "
-                   f"(likely dropped remote compile)")
-        if why:
-            proc.kill()
-            break
-        time.sleep(1)
-    proc.wait()
-    for t in threads:
-        t.join(timeout=5)
-    with lock:
-        return state["contract"], why, proc.returncode
+    why, rc = run_with_watchdog(cmd, timeout, stall_timeout, on_line)
+    return state["contract"], why, rc
 
 
 def main():
@@ -612,8 +606,10 @@ def main():
                    help="disable thread-parallel remote AOT compilation")
     p.add_argument("--inner", action="store_true",
                    help="internal: run the measurement in-process")
-    p.add_argument("--attempt-timeout", type=int, default=600,
-                   help="outer per-attempt wall budget (s)")
+    p.add_argument("--attempt-timeout", type=int, default=900,
+                   help="outer per-attempt wall budget (s); must fit the "
+                        "worst guarded path — startup ~50 s + 2 compile "
+                        "dispatches x 240 s + timing — with headroom")
     p.add_argument("--stall-timeout", type=int, default=400,
                    help="kill an attempt after this many seconds with no "
                         "output (dropped-remote-compile detector); must "
@@ -626,9 +622,12 @@ def main():
 
     # Persistent jit cache: only helps CPU-backend runs (axon executables
     # are not serialized into it — verified round 3), but those are exactly
-    # the CI/test runs where it saves the most.
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/drn_tpu_jit_cache")
+    # the CI/test runs where it saves the most. Host-fingerprinted dir:
+    # XLA:CPU entries embed host CPU features and this sandbox migrates
+    # hosts (CLAUDE.md SIGILL hazard).
+    from drn_tpu.utils import jit_cache_dir
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", jit_cache_dir())
 
     if args.all_configs:
         return all_configs_main(args)
@@ -698,6 +697,11 @@ def all_configs_main(args):
                "--iters", str(args.iters), "--skip-train", "--skip-torch",
                "--attempt-timeout", str(args.attempt_timeout),
                "--stall-timeout", str(args.stall_timeout)]
+        if args.batch_size:
+            cmd += ["--batch-size", str(args.batch_size)]
+        if args.profile:
+            # one trace dir per config; a shared dir would overwrite
+            cmd += ["--profile", os.path.join(args.profile, name)]
         if args.platform:
             cmd += ["--platform", args.platform]
         if args.serial_compile:

@@ -293,6 +293,10 @@ def main(argv=None):
     p.add_argument("--glove-path", default=None)
     p.add_argument("--annotation-path", default=None,
                    help="GloVe mode: dataset annotations that fix the vocab")
+    p.add_argument("--feature-fps", type=float, default=None,
+                   help="feature rows per second of video (extraction "
+                        "rate); unset configs assume 1.0 with a warning — "
+                        "seconds outputs scale by this")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8100)
     p.add_argument("--batch-size", type=int, default=32)
@@ -322,6 +326,8 @@ def main(argv=None):
         da["glove_path"] = args.glove_path
     if args.annotation_path:
         da["annotation_path"] = args.annotation_path
+    if args.feature_fps is not None:
+        da["feature_fps"] = args.feature_fps
     if da:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
 

@@ -50,10 +50,13 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
     # per-epoch boundaries must be divided by accum_steps — otherwise
     # accumulation silently delays every LR decay by that factor.
     updates_per_epoch = steps_per_epoch / max(t.accum_steps, 1)
-    boundaries = {
-        max(int(e * updates_per_epoch), 1): t.lr_decay_rate
-        for e in t.lr_decay_epochs
-    }
+    # Under heavy accumulation two decay epochs can truncate to the SAME
+    # update index; compound the rates there (both decays still happen)
+    # instead of letting a dict literal silently drop one.
+    boundaries: Dict[int, float] = {}
+    for e in t.lr_decay_epochs:
+        b = max(int(e * updates_per_epoch), 1)
+        boundaries[b] = boundaries.get(b, 1.0) * t.lr_decay_rate
     sched = optax.piecewise_constant_schedule(t.learning_rate, boundaries)
     opt = optax.chain(
         optax.clip_by_global_norm(t.grad_clip_norm),
@@ -447,6 +450,10 @@ def main(argv=None):
                         "means N× fewer optimizer updates per epoch")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--feature-dir", default=None)
+    p.add_argument("--feature-fps", type=float, default=None,
+                   help="feature rows per second of video (extraction "
+                        "rate); unset configs assume 1.0 with a warning — "
+                        "seconds outputs scale by this")
     p.add_argument("--annotation-path", default=None)
     p.add_argument("--glove-path", default=None)
     p.add_argument("--num-workers", type=int, default=None,
@@ -493,6 +500,8 @@ def main(argv=None):
         da["batch_size"] = args.batch_size
     if args.feature_dir is not None:
         da["feature_dir"] = args.feature_dir
+    if args.feature_fps is not None:
+        da["feature_fps"] = args.feature_fps
     if args.annotation_path is not None:
         da["annotation_path"] = args.annotation_path
     if args.glove_path is not None:

@@ -22,6 +22,11 @@ def _host_tag() -> str:
     return "nocpuinfo"
 
 
+def jit_cache_dir(path: str = "/tmp/drn_tpu_jit_cache") -> str:
+    """Host-fingerprinted persistent-cache directory (no jax import)."""
+    return f"{path}_{_host_tag()}"
+
+
 def enable_jit_cache(path: str = "/tmp/drn_tpu_jit_cache") -> None:
     """Persistent XLA compilation cache — first compiles are slow (minutes
     through this sandbox's tunnel); subsequent processes reuse artifacts
@@ -29,7 +34,6 @@ def enable_jit_cache(path: str = "/tmp/drn_tpu_jit_cache") -> None:
     CPU fingerprint (see _host_tag)."""
     import jax
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          f"{path}_{_host_tag()}")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", jit_cache_dir(path))
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])

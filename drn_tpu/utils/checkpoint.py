@@ -8,6 +8,7 @@ step — the elastic-recovery story the reference lacks.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Any, Optional
 
@@ -150,22 +151,32 @@ class BestCheckpointTracker:
                     {"val_metric": 0.0}, partial_restore=True
                 ),
             )
-            self._best = float(restored["val_metric"])
+            m = float(restored["val_metric"])
+            # A non-finite persisted metric (older runs could write one)
+            # must not become the comparison anchor — NaN makes every
+            # `<=` False and turns "best" into "last".
+            self._best = m if math.isfinite(m) else None
 
     @property
     def best_metric(self) -> Optional[float]:
         return self._best
 
     def update(self, step: int, params: Any, val_metric: float) -> bool:
-        """Persist {params, step, val_metric} iff this is a new best."""
-        if self._best is not None and float(val_metric) <= self._best:
+        """Persist {params, step, val_metric} iff this is a new best.
+
+        A non-finite metric (diverged eval) is never "best": accepting a
+        NaN would poison every later comparison (`m <= nan` is False) and
+        silently degrade best-on-val into last-eval."""
+        m = float(val_metric)
+        if not math.isfinite(m):
             return False
-        self._best = float(val_metric)
+        if self._best is not None and m <= self._best:
+            return False
+        self._best = m
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(
-                {"params": params, "step": step,
-                 "val_metric": float(val_metric)}
+                {"params": params, "step": step, "val_metric": m}
             ),
             force=True,
         )

@@ -24,8 +24,9 @@ import numpy as np
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/drn_tpu_jit_cache")
+    from drn_tpu.utils import jit_cache_dir
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", jit_cache_dir())
     import jax
     import jax.numpy as jnp
 

@@ -3,7 +3,9 @@
 The sandbox TPU relay occasionally drops a remote request, leaving the
 process blocked forever (CLAUDE.md). This wrapper streams the child's
 output, kills it after --stall seconds with no output, and retries the
-identical command — the documented recovery.
+identical command — the documented recovery. The watchdog implementation
+is shared with bench.py's outer supervisor
+(drn_tpu.utils.subproc.run_with_watchdog).
 
     python scripts/tpu_run.py [--stall 300] [--attempts 3] -- cmd args...
 """
@@ -11,43 +13,25 @@ identical command — the documented recovery.
 from __future__ import annotations
 
 import argparse
-import subprocess
+import os
 import sys
-import threading
-import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from drn_tpu.utils.subproc import run_with_watchdog  # noqa: E402
 
 
 def run_once(cmd, stall: int, timeout: int) -> int:
-    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True, bufsize=1)
-    last = [time.time()]
+    def on_line(line, is_stdout):
+        sys.stdout.write(line)
+        sys.stdout.flush()
 
-    def pump():
-        for line in proc.stdout:
-            last[0] = time.time()
-            sys.stdout.write(line)
-            sys.stdout.flush()
-
-    t = threading.Thread(target=pump, daemon=True)
-    t.start()
-    t0 = time.time()
-    while proc.poll() is None:
-        now = time.time()
-        if now - last[0] > stall:
-            print(f"[tpu_run] no output for {stall}s (likely dropped "
-                  f"remote request); killing", file=sys.stderr, flush=True)
-            proc.kill()
-            proc.wait()
-            return -1
-        if now - t0 > timeout:
-            print(f"[tpu_run] total timeout {timeout}s; killing",
-                  file=sys.stderr, flush=True)
-            proc.kill()
-            proc.wait()
-            return -2
-        time.sleep(1)
-    t.join(timeout=5)
-    return proc.returncode
+    why, rc = run_with_watchdog(cmd, timeout, stall, on_line,
+                                merge_stderr=True)
+    if why:
+        print(f"[tpu_run] {why}; killed", file=sys.stderr, flush=True)
+        return -1
+    return rc
 
 
 def main():

@@ -92,8 +92,9 @@ def main():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--probes", default="fwd,grad,full,adam")
     args = p.parse_args()
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/drn_tpu_jit_cache")
+    from drn_tpu.utils import jit_cache_dir
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", jit_cache_dir())
 
     import jax
     import jax.numpy as jnp

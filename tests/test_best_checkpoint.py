@@ -97,3 +97,22 @@ def test_train_keeps_best_epoch_params(tmp_path):
     assert not all(
         np.allclose(a, b, atol=1e-6) for a, b in zip(leaves_g, leaves_f)
     )
+
+
+def test_tracker_rejects_non_finite_metrics(tmp_path):
+    """A NaN val metric (diverged eval) must never become 'best': accepting
+    it poisons every later comparison (m <= nan is False) and silently
+    turns best-on-val into last-eval."""
+    d = str(tmp_path / "ckpt")
+    params = {"w": np.arange(4.0, dtype=np.float32)}
+    tr = BestCheckpointTracker(d)
+    assert tr.update(1, params, 0.45)
+    assert not tr.update(2, {"w": params["w"] * 0}, float("nan"))
+    assert tr.best_metric == 0.45
+    # a later, worse-than-best metric still refused
+    assert not tr.update(3, {"w": params["w"] * 0}, 0.30)
+    # and a genuinely better one accepted
+    assert tr.update(4, params, 0.50)
+    assert not tr.update(5, params, float("inf"))  # inf equally rejected
+    tr.wait()
+    tr.close()

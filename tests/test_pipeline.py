@@ -306,3 +306,40 @@ def test_lr_decay_epoch_honored_under_accumulation():
     np.testing.assert_allclose(deltas[1], 1e-3, rtol=0.2)
     np.testing.assert_allclose(deltas[2], 1e-4, rtol=0.2)
     np.testing.assert_allclose(deltas[3], 1e-4, rtol=0.2)
+
+
+def test_lr_decay_epochs_colliding_on_one_update_compound():
+    """With accum_steps >= steps_per_epoch, two decay epochs can truncate
+    to the SAME optimizer-update index; both decays must still apply
+    (compounded) rather than one being silently dropped by dict
+    construction. Here updates_per_epoch = 4/8 = 0.5, so epochs 20 and 21
+    both map to update boundary 10 -> combined 0.01x from update 11 on."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from drn_tpu.config import get_config
+    from drn_tpu.train import make_optimizer
+
+    spe = 4
+    cfg = get_config("synthetic_tiny")
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, accum_steps=8, learning_rate=1e-3,
+        lr_decay_epochs=(20, 21), lr_decay_rate=0.1,
+    ))
+    tx = make_optimizer(cfg, steps_per_epoch=spe)
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 0.5)}
+    opt_state = tx.init(params)
+    deltas = []
+    for _ in range(11 * 8):  # 11 optimizer updates x 8 micro-steps each
+        updates, opt_state = tx.update(grads, opt_state, params)
+        step = float(np.abs(np.asarray(updates["w"])).max())
+        if step > 0:
+            deltas.append(step)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert len(deltas) == 11
+    np.testing.assert_allclose(deltas[9], 1e-3, rtol=0.2)   # update 10
+    np.testing.assert_allclose(deltas[10], 1e-5, rtol=0.2)  # both decays
