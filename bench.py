@@ -691,7 +691,8 @@ def all_configs_main(args):
     item 6: make BASELINE.md's per-config rows tool-reproducible)."""
     import subprocess
 
-    configs = ["charades_c3d_batched_eval", "activitynet_c3d", "tacos_c3d"]
+    configs = ["charades_c3d_batched_eval", "charades_i3d",
+               "activitynet_c3d", "activitynet_i3d", "tacos_c3d"]
     for name in configs:
         cmd = [sys.executable, __file__, "--config", name,
                "--iters", str(args.iters), "--skip-train", "--skip-torch",

@@ -178,6 +178,11 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         "charades_i3d",
         model=dict(feature_dim=1024),
         data=dict(dataset="charades", feature_type="i3d", num_clips=64),
+        # v5e eval-batch sweep (iters=96, two runs each): 69.7k q/s @32,
+        # 73.8k @48, 74.2/76.5k @64, 77.1/72.6k @96 (tied with 64 within
+        # relay noise), 69.2k @128. The 1024-d stem is ~4x lighter than
+        # c3d's 4096, so the optimum sits above the c3d flagship's B=48.
+        eval=dict(batch_size=64),
     ),
     # 2) Charades-STA batched multi-query eval (on-device NMS). Batch
     # sweep on v5e, FULL step timed (NMS + recall counts consumed),
@@ -203,6 +208,10 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         ),
         data=dict(dataset="activitynet", feature_type="i3d", num_clips=256,
                   max_query_len=25),
+        # v5e eval-batch sweep (iters=96, 2026-08-17): 15.5k q/s @8,
+        # 16.9/15.9k @16 (peak, 73-77% MFU), 15.4k @32. Deep-pyramid
+        # configs peak far below the charades flagship's B=48.
+        eval=dict(batch_size=16),
     ),
     "activitynet_c3d": _cfg(
         "activitynet_c3d",
@@ -213,6 +222,9 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         ),
         data=dict(dataset="activitynet", feature_type="c3d", num_clips=256,
                   max_query_len=25),
+        # Sweep (iters=96): 15.4k @8, 16.8/17.1k @16 (peak, ~75% MFU),
+        # 15.5k @32, 15.4k @64.
+        eval=dict(batch_size=16),
     ),
     # 4) TACoS: fine-grained dense moments, high-resolution temporal grid.
     "tacos_c3d": _cfg(
@@ -224,6 +236,10 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         ),
         data=dict(dataset="tacos", feature_type="c3d", num_clips=512,
                   max_query_len=25),
+        # Sweep (iters=96): 3.4k @4, 5.1/5.0k @8 (peak, ~65% MFU),
+        # 4.9k @16, 4.8k @32 (old default), 4.7k @64. The 512-clip grid
+        # saturates HBM early; small batches win.
+        eval=dict(batch_size=8),
     ),
     # 5) End-to-end training on a TPU mesh (synthetic fixture runs everywhere).
     "synthetic_tiny": _cfg(
