@@ -178,10 +178,10 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         "charades_i3d",
         model=dict(feature_dim=1024),
         data=dict(dataset="charades", feature_type="i3d", num_clips=64),
-        # v5e eval-batch sweep (iters=96, two runs each): 69.7k q/s @32,
-        # 73.8k @48, 74.2/76.5k @64, 77.1/72.6k @96 (tied with 64 within
-        # relay noise), 69.2k @128. The 1024-d stem is ~4x lighter than
-        # c3d's 4096, so the optimum sits above the c3d flagship's B=48.
+        # v5e eval-batch sweep (iters=96; sweep_r3.log): 69.7k q/s @32,
+        # 73.8k @48, 74.2/76.5/77.4k @64, 77.1/72.6k @96 (tied with 64
+        # within relay noise), 69.2k @128. The 1024-d stem is ~4x lighter
+        # than c3d's 4096, so the optimum sits above the flagship's B=48.
         eval=dict(batch_size=64),
     ),
     # 2) Charades-STA batched multi-query eval (on-device NMS). Batch

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 from typing import Dict, List, Optional
 
@@ -79,8 +80,8 @@ def validate_split(cfg: ExperimentConfig, split: str, sample: int = 200,
             f"(>2% over) — they will be clipped to the grid")
 
     # --- query length vs max_query_len ---
-    lens = np.asarray(
-        [len(tokenize(ex.sentence, d.lowercase)) for ex in examples])
+    token_lists = [tokenize(ex.sentence, d.lowercase) for ex in examples]
+    lens = np.asarray([len(t) for t in token_lists])
     truncated = int((lens > d.max_query_len).sum())
     stats["query_tokens_p50"] = int(np.percentile(lens, 50))
     stats["query_tokens_p95"] = int(np.percentile(lens, 95))
@@ -94,8 +95,7 @@ def validate_split(cfg: ExperimentConfig, split: str, sample: int = 200,
 
     # --- vocab coverage (GloVe mode only; hashed mode has no OOV) ---
     if vocab is not None and vocab.word_to_id is not None:
-        toks = [t for ex in examples
-                for t in tokenize(ex.sentence, d.lowercase)]
+        toks = [t for ts in token_lists for t in ts]
         oov = sum(1 for t in toks if vocab.lookup(t) == UNK_ID)
         stats["tokens_oov"] = oov
         stats["tokens_total"] = len(toks)
@@ -111,6 +111,26 @@ def validate_split(cfg: ExperimentConfig, split: str, sample: int = 200,
         return {"split": split, "errors": errors, "warnings": warnings,
                 "stats": stats}
     reader = FeatureReader(d.feature_dir)
+    if d.feature_dir.endswith((".h5", ".hdf5")):
+        # Fail at archive granularity, not as N bogus per-video misses.
+        if not os.path.exists(d.feature_dir):
+            errors.append(
+                f"feature archive {d.feature_dir!r} does not exist")
+            return {"split": split, "errors": errors,
+                    "warnings": warnings, "stats": stats}
+        try:
+            reader._h5_file()
+        except ImportError:
+            errors.append(
+                "h5py is not installed — cannot read an .h5/.hdf5 "
+                "feature archive (pip install h5py, or convert to a "
+                ".npy directory)")
+            return {"split": split, "errors": errors,
+                    "warnings": warnings, "stats": stats}
+        except OSError as e:
+            errors.append(f"feature archive unreadable: {e}")
+            return {"split": split, "errors": errors,
+                    "warnings": warnings, "stats": stats}
     rng = np.random.default_rng(0)
     idx = (np.arange(len(videos)) if len(videos) <= sample
            else np.sort(rng.choice(len(videos), size=sample, replace=False)))
@@ -119,6 +139,7 @@ def validate_split(cfg: ExperimentConfig, split: str, sample: int = 200,
     bad_dim: List[str] = []
     nonfinite: List[str] = []
     t_raws: List[int] = []
+    rows_by_vid: Dict[str, int] = {}
     feat_dim: Optional[int] = None
     for vid in checked:
         try:
@@ -133,6 +154,7 @@ def validate_split(cfg: ExperimentConfig, split: str, sample: int = 200,
             bad_dim.append(f"{vid}:ndim={raw.ndim}")
             continue
         t_raws.append(int(raw.shape[0]))
+        rows_by_vid[vid] = int(raw.shape[0])
         if feat_dim is None:
             feat_dim = int(raw.shape[1])
         elif int(raw.shape[1]) != feat_dim:
@@ -166,15 +188,10 @@ def validate_split(cfg: ExperimentConfig, split: str, sample: int = 200,
     # --- feature_fps consistency (duration-less formats only) ---
     durationless = [ex for ex in examples if ex.duration <= 0]
     if durationless and t_raws:
-        from drn_tpu.data.features import effective_feature_fps
-
-        fps = effective_feature_fps(d.feature_fps) if d.feature_fps > 0 \
-            else 1.0
-        by_vid = {}
-        for vid in checked:
-            n = reader.num_frames(vid)
-            if n:
-                by_vid[vid] = n / fps
+        # (row counts were recorded during the feature pass above — no
+        # second read of the sampled files)
+        fps = d.feature_fps if d.feature_fps > 0 else 1.0
+        by_vid = {vid: n / fps for vid, n in rows_by_vid.items()}
         overs = [ex for ex in durationless if ex.video_id in by_vid
                  and ex.end_sec > by_vid[ex.video_id] * 1.05]
         stats["spans_past_derived_duration"] = len(overs)
@@ -197,6 +214,14 @@ def validate_split(cfg: ExperimentConfig, split: str, sample: int = 200,
 
 def validate(cfg: ExperimentConfig, splits=("train", "test"),
              sample: int = 200) -> Dict:
+    # A {split}-less annotation path (the ActivityNet/TACoS JSON releases
+    # ship one concrete file per split) resolves every requested split to
+    # the SAME file — validating it N times doubles the slow feature pass
+    # and emits N identical reports. Collapse to one.
+    collapsed = False
+    if (len(splits) > 1 and cfg.data.dataset != "synthetic"
+            and "{split}" not in cfg.data.annotation_path):
+        splits, collapsed = splits[:1], True
     vocab = None
     if cfg.data.glove_path:
         try:
@@ -208,6 +233,10 @@ def validate(cfg: ExperimentConfig, splits=("train", "test"),
                     "errors": [f"GloVe table unreadable: {e}"]}
     reports = [validate_split(cfg, s, sample=sample, vocab=vocab)
                for s in splits]
+    if collapsed:
+        reports[0]["warnings"].append(
+            "annotation_path has no {split} placeholder — every split "
+            "resolves to the same file; validated it once")
     ok = not any(r["errors"] for r in reports)
     out = {"ok": ok, "splits": reports}
     if vocab is not None:

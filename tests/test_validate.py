@@ -73,8 +73,8 @@ def test_missing_features_is_hard_error(tmp_path):
     cfg = _cfg(_charades_fixture(tmp_path, missing=True), feature_fps=1.0)
     report = validate(cfg)
     assert not report["ok"]
-    assert any("no features" in e.replace("have no\nfeatures", "no features")
-               or "features" in e for e in report["splits"][0]["errors"])
+    assert any("have no features" in e
+               for e in report["splits"][0]["errors"])
     assert report["splits"][0]["stats"]["videos_missing_features"] == 1
 
 
@@ -150,6 +150,41 @@ def test_activitynet_span_sanity(tmp_path):
     st = report["splits"][0]["stats"]
     assert st["spans_past_annotated_duration"] == 1
     assert st["spans_nonpositive_length"] == 1
+
+
+def test_splitless_annotation_validated_once(tmp_path):
+    """A {split}-less path resolves every split to the same file —
+    validate must collapse to one pass instead of duplicating it."""
+    ann = tmp_path / "anet.json"
+    ann.write_text(json.dumps({
+        "v_A": {"duration": 60.0, "timestamps": [[5.0, 9.0]],
+                "sentences": ["a sentence"]},
+    }), encoding="utf-8")
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    np.save(feats / "v_A.npy", np.zeros((40, 16), np.float32))
+    cfg = get_config("activitynet_c3d")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, feature_dim=16),
+        data=dataclasses.replace(cfg.data, annotation_path=str(ann),
+                                 feature_dir=str(feats)),
+    )
+    report = validate(cfg)  # default splits=("train", "test")
+    assert report["ok"]
+    assert len(report["splits"]) == 1
+    assert any("placeholder" in w for w in report["splits"][0]["warnings"])
+
+
+def test_missing_h5_archive_is_archive_error(tmp_path):
+    """A nonexistent .h5 archive must fail as ONE archive-level error,
+    not as N bogus per-video 'missing features' misses."""
+    cfg = _cfg((_charades_fixture(tmp_path)[0], str(tmp_path / "nope.h5")),
+               feature_fps=1.0)
+    report = validate(cfg, splits=("train",))
+    assert not report["ok"]
+    errs = report["splits"][0]["errors"]
+    assert any("archive" in e and "does not exist" in e for e in errs)
+    assert "videos_missing_features" not in report["splits"][0]["stats"]
 
 
 def test_cli_exit_codes_and_json(tmp_path, capsys):
