@@ -176,7 +176,11 @@ def load_dataset(cfg: DataConfig, mcfg: ModelConfig, vocab: Vocab,
     if cfg.dataset == "synthetic":
         from drn_tpu.data.synthetic import SyntheticDataset
 
-        return SyntheticDataset(cfg, mcfg, split=split)
+        # In GloVe mode build_model resizes the embedding table to the
+        # vocab's row count; cap the synthetic id range to match, or ids
+        # past the table would silently clamp to its last row on TPU.
+        return SyntheticDataset(cfg, mcfg, split=split,
+                                vocab_size=vocab.size if vocab else None)
     examples = parse_examples(cfg, split)
     return GroundingDataset(cfg, mcfg, vocab, examples,
                             FeatureReader(cfg.feature_dir))

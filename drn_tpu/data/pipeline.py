@@ -70,6 +70,20 @@ def _pad_batch_rows(batch: Dict[str, np.ndarray], batch_size: int
     return out
 
 
+def invalid_like(template: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """An all-invalid batch shaped like `template` — the lockstep filler a
+    short-sharded process feeds so it can join every collective (train and
+    eval both use it; the invariants match _pad_batch_rows' padded rows:
+    valid all-False, gt_grid a nondegenerate [0,1] span, query_mask
+    keeping LSTM lengths >= 1)."""
+    local = {k: np.zeros_like(v) for k, v in template.items()}
+    local["gt_grid"] = np.broadcast_to(
+        np.asarray([0.0, 1.0], np.float32), template["gt_grid"].shape
+    ).copy()
+    local["query_mask"][:, 0] = True
+    return local
+
+
 class GrainBatchIterator:
     """Grain-backed loader: parallel worker processes for the feature-file
     reads (the DataLoader-worker equivalent, SURVEY.md §4.4 "fork boundary"),

@@ -18,13 +18,17 @@ from drn_tpu.data.vocab import PAD_ID
 
 class SyntheticDataset:
     def __init__(self, cfg: DataConfig, mcfg: ModelConfig, split: str = "train",
-                 num_examples: int = 256):
+                 num_examples: int = 256, vocab_size: int | None = None):
         self.cfg = cfg
         self.mcfg = mcfg
         seed = cfg.seed + (0 if split == "train" else 10_000)
         self.rng = np.random.default_rng(seed)
         self.num_examples = num_examples
-        f, v = mcfg.feature_dim, mcfg.vocab_size
+        # The id range must match the model's EFFECTIVE table size: in
+        # GloVe mode build_model resizes the table to the vocab row count
+        # (< mcfg.vocab_size), and out-of-range ids would clamp silently.
+        self.vocab_size = min(vocab_size or mcfg.vocab_size, mcfg.vocab_size)
+        f, v = mcfg.feature_dim, self.vocab_size
         # A fixed random projection: token id → feature-space signal vector.
         proj_rng = np.random.default_rng(1234)
         self.token_signal = proj_rng.normal(size=(v, f)).astype(np.float32)
@@ -35,14 +39,15 @@ class SyntheticDataset:
         # Stable across processes (Grain pins repr(data_source) in its
         # iterator checkpoints — see GroundingDataset.__repr__).
         return (f"SyntheticDataset(split={self._split!r}, "
-                f"seed={self.cfg.seed}, n={self.num_examples})")
+                f"seed={self.cfg.seed}, n={self.num_examples}, "
+                f"v={self.vocab_size})")
 
     def _make(self, i: int) -> Dict[str, np.ndarray]:
         cfg, mcfg = self.cfg, self.mcfg
         t, f, l = cfg.num_clips, mcfg.feature_dim, cfg.max_query_len
         n_words = int(self.rng.integers(2, l + 1))
         ids = np.full((l,), PAD_ID, np.int32)
-        ids[:n_words] = self.rng.integers(2, mcfg.vocab_size, n_words)
+        ids[:n_words] = self.rng.integers(2, self.vocab_size, n_words)
         mask = np.arange(l) < n_words
 
         length = self.rng.uniform(0.1, 0.6) * t

@@ -47,7 +47,10 @@ def validate_split(cfg: ExperimentConfig, split: str, sample: int = 200,
     try:
         examples = parse_examples(d, split)
     except (FileNotFoundError, KeyError, ValueError, json.JSONDecodeError,
-            TypeError) as e:
+            TypeError, AttributeError, IndexError) as e:
+        # AttributeError/IndexError cover structurally-wrong-but-valid
+        # JSON (e.g. a top-level list where a dict is expected) — the
+        # validator must report those, not die with a traceback.
         return {"split": split, "errors": [f"annotations unreadable: {e}"],
                 "warnings": [], "stats": {}}
     if not examples:

@@ -20,7 +20,8 @@ import numpy as np
 from jax.sharding import Mesh
 
 from drn_tpu.config import ExperimentConfig, get_config
-from drn_tpu.data.pipeline import make_batch_iterator, make_dataset
+from drn_tpu.data.pipeline import (invalid_like, make_batch_iterator,
+                                   make_dataset)
 from drn_tpu.models import DRN
 from drn_tpu.ops.nms import temporal_nms
 from drn_tpu.ops.metrics import metric_name, recall_at_n
@@ -142,13 +143,7 @@ def _device_batches(batches, bsh, multiproc: bool):
             assert template is not None, (
                 "process shard is empty; dataset smaller than process count"
             )
-            local = {k: np.zeros_like(v) for k, v in template.items()}
-            local["valid"] = np.zeros_like(template["valid"])
-            local["gt_grid"] = np.broadcast_to(
-                np.asarray([0.0, 1.0], np.float32), template["gt_grid"].shape
-            ).copy()
-            local["query_mask"] = np.zeros_like(template["query_mask"])
-            local["query_mask"][:, 0] = True
+            local = invalid_like(template)
         if not presharded:
             b = local["valid"].shape[0]
             assert b % np_ == 0, (b, np_)
@@ -214,7 +209,11 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
 def predict(cfg: ExperimentConfig, model: DRN, params, batch):
     """User-facing inference: top segments in SECONDS + scores, post-NMS.
     The compiled step is memoized per (config, model) so repeated calls
-    don't re-trace."""
+    don't re-trace.
+
+    Optional batch keys (each independently defaulted): "gt_grid",
+    "valid", and "duration" — without per-video durations (seconds) the
+    returned segments are in base-grid units (scale 1)."""
     step = get_eval_step(cfg, model)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     b = jb["features"].shape[0]
@@ -222,6 +221,9 @@ def predict(cfg: ExperimentConfig, model: DRN, params, batch):
         jb["gt_grid"] = jnp.zeros((b, 2), jnp.float32)
     if "valid" not in jb:  # independently optional — don't couple the two
         jb["valid"] = jnp.ones((b,), bool)
+    if "duration" not in jb:  # grid units when no duration is known
+        jb["duration"] = jnp.full((b,), float(cfg.data.num_clips),
+                                  jnp.float32)
     _, _, segs_sec, keep, scores = step(params, jb)
     return (
         np.asarray(segs_sec),
@@ -269,7 +271,7 @@ def main(argv=None):
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
 
     from drn_tpu.data.pipeline import build_vocab
-    from drn_tpu.train import build_model, init_state, make_optimizer
+    from drn_tpu.train import build_model, init_params
 
     vocab = build_vocab(cfg.data, cfg.model)
     model = build_model(cfg, pretrained_embeddings=vocab.embeddings)
@@ -281,12 +283,11 @@ def main(argv=None):
         # skipping init avoids a wasted full-model device compile.
         params = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
     else:
-        state = init_state(cfg, model, make_optimizer(cfg, 1),
-                           jax.random.key(0))
+        template = init_params(cfg, model, jax.random.key(0))
         ckpt_dir = prefer_best_dir(args.checkpoint_dir,
                                    prefer=not args.latest_checkpoint)
         ckpt = CheckpointManager(ckpt_dir)
-        restored = ckpt.restore({"params": state.params}, partial=True)
+        restored = ckpt.restore({"params": template}, partial=True)
         if restored is None:
             raise FileNotFoundError(
                 f"no checkpoint in {args.checkpoint_dir}")

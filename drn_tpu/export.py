@@ -145,7 +145,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from drn_tpu.data.pipeline import build_vocab
-    from drn_tpu.train import build_model, init_state, make_optimizer
+    from drn_tpu.train import build_model, init_params
 
     cfg = get_config(args.config)
     da = {}
@@ -160,8 +160,7 @@ def main(argv=None):
     # checkpoint's params would never fit the exported signature.
     vocab = build_vocab(cfg.data, cfg.model)
     model = build_model(cfg, pretrained_embeddings=vocab.embeddings)
-    state = init_state(cfg, model, make_optimizer(cfg, 1), jax.random.key(0))
-    params = state.params
+    params = init_params(cfg, model, jax.random.key(0))
     if args.checkpoint_dir:
         from drn_tpu.utils.checkpoint import CheckpointManager
 

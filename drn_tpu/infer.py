@@ -65,7 +65,7 @@ def main(argv=None):
                                        resample_features)
     from drn_tpu.data.vocab import tokenize
     from drn_tpu.evaluate import predict
-    from drn_tpu.train import build_model, init_state, make_optimizer
+    from drn_tpu.train import build_model, init_params
 
     cfg = get_config(args.config)
     da = {}
@@ -102,10 +102,9 @@ def main(argv=None):
         from drn_tpu.utils.checkpoint import (CheckpointManager,
                                               prefer_best_dir)
 
-        state = init_state(cfg, model, make_optimizer(cfg, 1),
-                           jax.random.key(0))
+        template = init_params(cfg, model, jax.random.key(0))
         ckpt = CheckpointManager(prefer_best_dir(args.checkpoint_dir))
-        restored = ckpt.restore({"params": state.params}, partial=True)
+        restored = ckpt.restore({"params": template}, partial=True)
         if restored is None:
             raise FileNotFoundError(
                 f"no checkpoint in {args.checkpoint_dir}")

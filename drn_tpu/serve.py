@@ -250,7 +250,7 @@ def build_service(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None,
     import jax
 
     from drn_tpu.data.pipeline import build_vocab
-    from drn_tpu.train import build_model, init_state, make_optimizer
+    from drn_tpu.train import build_model, init_params
 
     if checkpoint_dir and torch_checkpoint:
         raise ValueError(
@@ -267,9 +267,7 @@ def build_service(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None,
 
             params = load_torch_checkpoint(torch_checkpoint, cfg.model)
         else:
-            state = init_state(cfg, model, make_optimizer(cfg, 1),
-                               jax.random.key(0))
-            params = state.params
+            params = init_params(cfg, model, jax.random.key(0))
         if checkpoint_dir:
             from drn_tpu.utils.checkpoint import (CheckpointManager,
                                                   prefer_best_dir)
@@ -299,7 +297,9 @@ def main(argv=None):
                         "seconds outputs scale by this")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8100)
-    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="serving batch (default: the config's swept "
+                        "eval batch optimum)")
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--top", type=int, default=5)
     p.add_argument("--features-root", default=None,

@@ -27,7 +27,8 @@ from flax.training import train_state
 from jax.sharding import Mesh
 
 from drn_tpu.config import ExperimentConfig, get_config
-from drn_tpu.data.pipeline import build_vocab, make_batch_iterator, make_dataset
+from drn_tpu.data.pipeline import (build_vocab, invalid_like,
+                                   make_batch_iterator, make_dataset)
 from drn_tpu.models import DRN
 from drn_tpu.models.drn import location_metadata
 from drn_tpu.models.losses import drn_loss
@@ -58,9 +59,22 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
         b = max(int(e * updates_per_epoch), 1)
         boundaries[b] = boundaries.get(b, 1.0) * t.lr_decay_rate
     sched = optax.piecewise_constant_schedule(t.learning_rate, boundaries)
+
+    def decay_mask(params):
+        # Never weight-decay the embedding table: in GloVe mode the table
+        # is frozen via stop_gradient, which zeroes its *gradient* but not
+        # adamw's additive -lr*wd*param term — with a bare adamw the
+        # "frozen" pretrained table would decay geometrically toward zero.
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not any(
+                getattr(p, "key", None) == "embedding" for p in path
+            ),
+            params,
+        )
+
     opt = optax.chain(
         optax.clip_by_global_norm(t.grad_clip_norm),
-        optax.adamw(sched, weight_decay=t.weight_decay)
+        optax.adamw(sched, weight_decay=t.weight_decay, mask=decay_mask)
         if t.weight_decay > 0
         else optax.adam(sched),
     )
@@ -104,7 +118,11 @@ def build_model(cfg: ExperimentConfig,
     )
 
 
-def init_state(cfg: ExperimentConfig, model: DRN, tx, rng) -> TrainState:
+def init_params(cfg: ExperimentConfig, model: DRN, rng):
+    """Params-only init — the restore template for eval-only entry points
+    (evaluate/infer/serve/export), which never touch optimizer state;
+    init_state would allocate two param-sized Adam moment buffers on
+    device just to discard them."""
     d = cfg.data
     feats = jnp.zeros((2, d.num_clips, cfg.model.feature_dim), jnp.float32)
     words = jnp.zeros((2, d.max_query_len), jnp.int32)
@@ -112,7 +130,11 @@ def init_state(cfg: ExperimentConfig, model: DRN, tx, rng) -> TrainState:
     # jit: ONE compiled program. Eager init dispatches hundreds of tiny
     # ops — measured 150-350 s through this sandbox's TPU relay (each op
     # is a fresh little compile), vs seconds for the single jitted one.
-    params = jax.jit(model.init)(rng, feats, words, mask)
+    return jax.jit(model.init)(rng, feats, words, mask)
+
+
+def init_state(cfg: ExperimentConfig, model: DRN, tx, rng) -> TrainState:
+    params = init_params(cfg, model, rng)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
@@ -189,16 +211,7 @@ def put_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]):
     return {k: jax.device_put(v, bsh) for k, v in batch.items()}
 
 
-def _invalid_like(template: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """An all-invalid local batch shaped like `template` (masked rows only:
-    contributes nothing to the loss, but lets this process join every
-    collective)."""
-    local = {k: np.zeros_like(v) for k, v in template.items()}
-    local["gt_grid"] = np.broadcast_to(
-        np.asarray([0.0, 1.0], np.float32), template["gt_grid"].shape
-    ).copy()
-    local["query_mask"][:, 0] = True  # keep LSTM lengths >= 1
-    return local
+_invalid_like = invalid_like  # shared with evaluate._device_batches
 
 
 def lockstep_epoch(batches, epoch: int, skip: int, n_steps: int,
@@ -486,6 +499,12 @@ def main(argv=None):
         tr["stage"] = args.stage
     if args.stage2_iou_only:
         tr["stage2_iou_only"] = True
+        # make_optimizer gates the freeze on stage >= 2; without this
+        # check a forgotten --stage 2 would silently fine-tune the WHOLE
+        # network under the stage-1 loss.
+        if tr.get("stage", cfg.train.stage) < 2:
+            p.error("--stage2-iou-only requires --stage 2 (the freeze "
+                    "only applies to stage-2 training)")
     if args.accum_steps is not None:
         tr["accum_steps"] = args.accum_steps
     if args.epochs is not None:

@@ -203,6 +203,20 @@ def test_predict_valid_and_gt_grid_independent():
     segs, keep, scores = predict(cfg, model, params, batch)
     assert segs.shape[0] == b and np.isfinite(segs).all()
 
+    # Minimal inference batch — no labels, no duration: every optional
+    # key defaults independently (duration-less => grid-unit segments).
+    minimal = {k: batch[k] for k in ("features", "word_ids", "query_mask")}
+    segs_g, _, _ = predict(cfg, model, params, minimal)
+    assert segs_g.shape[0] == b and np.isfinite(segs_g).all()
+    # grid units vs seconds: duration=10 s over a num_clips grid scales
+    # segments by 10/num_clips relative to the duration-less call
+    np.testing.assert_allclose(
+        segs_g * (10.0 / cfg.data.num_clips),
+        np.asarray(predict(cfg, model, params,
+                           dict(minimal, duration=batch["duration"]))[0]),
+        rtol=1e-5, atol=1e-6,
+    )
+
 
 def test_default_eval_fn_refuses_splitless_annotation(tmp_path, capsys):
     """A split-less annotation_path would evaluate the TRAIN file as
