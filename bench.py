@@ -135,19 +135,19 @@ def _with_redispatch(fn, timeout: float, tries: int, label: str,
 
     q: "queue.Queue" = queue.Queue()
 
-    def worker():
+    def worker(gen):
         try:
-            q.put((True, fn()))
+            q.put((gen, True, fn()))
         except BaseException as e:  # surfaced to the caller below
-            q.put((False, e))
+            q.put((gen, False, e))
 
     for attempt in range(tries):
-        threading.Thread(target=worker, daemon=True).start()
+        threading.Thread(target=worker, args=(attempt,), daemon=True).start()
         waited = 0.0
         while waited < timeout:
             slice_s = min(heartbeat, timeout - waited)
             try:
-                ok, val = q.get(timeout=slice_s)
+                gen, ok, val = q.get(timeout=slice_s)
             except queue.Empty:
                 waited += slice_s
                 if waited < timeout:
@@ -155,8 +155,16 @@ def _with_redispatch(fn, timeout: float, tries: int, label: str,
                           f"(dispatch {attempt + 1}/{tries})")
                 continue
             if ok:
+                # late successes from ANY dispatch are good results
                 return val
-            raise val
+            if gen == attempt:
+                raise val
+            # A failure from a superseded dispatch (e.g. the abandoned
+            # first request's RPC finally dying mid-way through a healthy
+            # re-dispatch) must not abort the live one — log and keep
+            # waiting for the current dispatch.
+            phase(f"{label}: ignoring stale failure from superseded "
+                  f"dispatch {gen + 1}: {val!r}")
         phase(f"{label}: no response in {timeout:.0f}s (likely dropped "
               f"relay request); re-dispatching ({attempt + 1}/{tries})")
     raise _Stalled(f"{label}: {tries} dispatches all stalled")
@@ -457,6 +465,10 @@ def _contract_line(args, qps, mfu, vs_baseline, train_qps, train_mfu):
         "mfu": round(mfu, 4) if mfu else None,
         "train_examples_per_sec": round(train_qps, 2) if train_qps else None,
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        # quality marker: a degraded retry halves the chain length, and
+        # sub-ms steps at short chains are jitter-suspect (CLAUDE.md) —
+        # make that auditable in the recorded line.
+        "iters": args.iters,
     })
 
 
@@ -465,7 +477,9 @@ def _measure_torch_baseline(args, cfg):
         phase("torch-CPU baseline (pure host work, no TPU involvement)")
         import torch
 
-        torch.set_num_threads(max(1, torch.get_num_threads()))
+        # give the baseline every host core — the >=20x target should be
+        # against the strongest CPU showing, not a detuned one
+        torch.set_num_threads(max(1, os.cpu_count() or 1))
         from baselines.torch_cpu_reference import measure_qps
 
         ref_qps = measure_qps(
@@ -617,6 +631,9 @@ def main():
                         "compiles ran 10-30 s warm but relay hiccups of "
                         "~240 s have been observed")
     args = p.parse_args()
+    if args.latency and args.batch_size:
+        p.error("--latency measures the B=1 interactive path; it cannot "
+                "honor --batch-size (drop one of the two flags)")
     if args.iters is None:
         args.iters = 2048 if args.latency else 96
 
@@ -693,6 +710,7 @@ def all_configs_main(args):
 
     configs = ["charades_c3d_batched_eval", "charades_i3d",
                "activitynet_c3d", "activitynet_i3d", "tacos_c3d"]
+    failed = []
     for name in configs:
         cmd = [sys.executable, __file__, "--config", name,
                "--iters", str(args.iters), "--skip-train", "--skip-torch",
@@ -700,6 +718,8 @@ def all_configs_main(args):
                "--stall-timeout", str(args.stall_timeout)]
         if args.batch_size:
             cmd += ["--batch-size", str(args.batch_size)]
+        if args.latency:
+            cmd.append("--latency")
         if args.profile:
             # one trace dir per config; a shared dir would overwrite
             cmd += ["--profile", os.path.join(args.profile, name)]
@@ -710,9 +730,19 @@ def all_configs_main(args):
         phase(f"config {name}")
         r = subprocess.run(cmd, text=True, capture_output=True)
         sys.stderr.write(r.stderr)
+        emitted = False
         for ln in r.stdout.splitlines():
             if ln.startswith("{"):
                 print(ln, flush=True)
+                emitted = True
+        if r.returncode != 0 or not emitted:
+            failed.append(name)
+            phase(f"config {name} FAILED (rc={r.returncode}, "
+                  f"contract_line={emitted})")
+    if failed:
+        phase(f"all-configs: {len(failed)}/{len(configs)} configs missing "
+              f"results: {', '.join(failed)}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

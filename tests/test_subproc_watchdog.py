@@ -131,6 +131,26 @@ def test_redispatch_accepts_late_result_from_first_dispatch():
     assert out == "late-but-valid"
 
 
+def test_redispatch_ignores_stale_failure_from_superseded_dispatch():
+    """A late FAILURE from an abandoned dispatch (e.g. the dropped RPC
+    finally erroring out mid-way through a healthy re-dispatch) must not
+    abort the live dispatch — only same-generation failures raise."""
+    B = _bench()
+    n = [0]
+
+    def fn():
+        n[0] += 1
+        if n[0] == 1:
+            time.sleep(2.0)  # past timeout -> superseded, then fails late
+            raise RuntimeError("stale RPC death")
+        time.sleep(0.8)  # live dispatch: healthy, inside its window
+        return "fresh"
+
+    out = B._with_redispatch(fn, timeout=1.5, tries=2, label="t",
+                             heartbeat=0.5)
+    assert out == "fresh" and n[0] == 2
+
+
 def test_redispatch_raises_child_exception():
     B = _bench()
 
