@@ -36,6 +36,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -706,8 +707,6 @@ def main():
 def all_configs_main(args):
     """Eval qps for every headline config, one JSON line each (VERDICT r2
     item 6: make BASELINE.md's per-config rows tool-reproducible)."""
-    import subprocess
-
     configs = ["charades_c3d_batched_eval", "charades_i3d",
                "activitynet_c3d", "activitynet_i3d", "tacos_c3d"]
     failed = []

@@ -173,3 +173,67 @@ def test_redispatch_stalled_after_all_tries():
         B._with_redispatch(fn, timeout=0.3, tries=2, label="t",
                            heartbeat=0.2)
     assert time.time() - t0 < 10
+
+
+def _fake_run(results):
+    """subprocess.run stand-in: pops (rc, stdout) per call."""
+    class R:
+        def __init__(self, rc, out):
+            self.returncode, self.stdout, self.stderr = rc, out, ""
+
+    def run(cmd, **kw):
+        rc, out = results.pop(0)
+        return R(rc, out)
+
+    return run
+
+
+def test_all_configs_exits_nonzero_on_missing_contract_line(monkeypatch,
+                                                            capsys):
+    """--all-configs must not report success when a config produced no
+    contract line (VERDICT r2: silent truncation reads as coverage)."""
+    B = _bench()
+    import types
+
+    n_cfg = 5  # charades x2, activitynet x2, tacos
+    ok = (0, '{"metric": "m", "value": 1.0, "unit": "queries/s"}\n')
+    results = [ok, (1, "")] + [ok] * (n_cfg - 2)
+    monkeypatch.setattr(B, "subprocess",
+                        types.SimpleNamespace(run=_fake_run(results)),
+                        raising=False)
+    args = types.SimpleNamespace(iters=8, attempt_timeout=60,
+                                 stall_timeout=30, batch_size=None,
+                                 latency=False, profile=None, platform=None,
+                                 serial_compile=False)
+    with pytest.raises(SystemExit) as e:
+        B.all_configs_main(args)
+    assert e.value.code == 1
+    out = capsys.readouterr().out
+    assert len([l for l in out.splitlines() if l.startswith("{")]) == n_cfg - 1
+
+
+def test_all_configs_forwards_latency_and_succeeds(monkeypatch, capsys):
+    B = _bench()
+    import types
+
+    seen_cmds = []
+    ok_line = '{"metric": "m_single_query_latency_us", "value": 140.0}\n'
+
+    class R:
+        returncode, stdout, stderr = 0, ok_line, ""
+
+    def run(cmd, **kw):
+        seen_cmds.append(cmd)
+        return R()
+
+    monkeypatch.setattr(B, "subprocess", types.SimpleNamespace(run=run),
+                        raising=False)
+    args = types.SimpleNamespace(iters=2048, attempt_timeout=60,
+                                 stall_timeout=30, batch_size=None,
+                                 latency=True, profile=None, platform=None,
+                                 serial_compile=False)
+    B.all_configs_main(args)  # must NOT raise SystemExit
+    assert all("--latency" in c for c in seen_cmds)
+    out = capsys.readouterr().out
+    assert len([l for l in out.splitlines() if l.startswith("{")]) == len(
+        seen_cmds)
