@@ -36,7 +36,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -496,7 +495,32 @@ def _measure_torch_baseline(args, cfg):
         return None
 
 
+def _exit_when_orphaned(poll_s: float = 5.0):
+    """Daemon thread: exit hard if the supervising parent dies.
+
+    The inner runs in its own session (the watchdog group-kills it on
+    stall/timeout), so an outer process killed by an EXTERNAL supervisor
+    (the round driver's SIGKILL) would otherwise leak this process — and a
+    leaked inner keeps dispatching remote work to the single relay-attached
+    TPU underneath whatever runs next. Reparenting to init is the signal."""
+    import threading
+
+    parent = os.getppid()
+
+    def watch():
+        while True:
+            time.sleep(poll_s)
+            # ppid==1 also catches a parent that died BEFORE this thread
+            # started (we captured init as "parent") — already orphaned.
+            if os.getppid() != parent or os.getppid() == 1:
+                phase("supervisor died; exiting orphaned inner")
+                os._exit(1)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def inner_main(args):
+    _exit_when_orphaned()
     from drn_tpu.config import get_config
 
     cfg = get_config(args.config)
@@ -523,13 +547,26 @@ def inner_main(args):
     phase(f"backend={jax.default_backend()} devices={jax.devices()}")
 
     if args.latency:
-        lat_us = measure_latency_us(
-            cfg, iters=args.iters, serial_compile=args.serial_compile
-        )
+        if args.profile:
+            from drn_tpu.utils.profiling import trace
+
+            with trace(args.profile):
+                lat_us = measure_latency_us(
+                    cfg, iters=args.iters,
+                    serial_compile=args.serial_compile,
+                )
+            log(f"profiler trace written to {args.profile}")
+        else:
+            lat_us = measure_latency_us(
+                cfg, iters=args.iters, serial_compile=args.serial_compile
+            )
         phase(f"single-query device latency: {lat_us:.1f} us")
+        # "iters" makes degraded retries auditable: attempt 3 halves the
+        # chain, and short-chain B=1 numbers are jitter-suspect (CLAUDE.md).
         print(json.dumps({
             "metric": f"{args.config}_single_query_latency_us",
             "value": round(lat_us, 2), "unit": "us", "vs_baseline": None,
+            "iters": args.iters,
         }), flush=True)
         return
 
@@ -727,17 +764,26 @@ def all_configs_main(args):
         if args.serial_compile:
             cmd.append("--serial-compile")
         phase(f"config {name}")
-        r = subprocess.run(cmd, text=True, capture_output=True)
-        sys.stderr.write(r.stderr)
-        emitted = False
-        for ln in r.stdout.splitlines():
-            if ln.startswith("{"):
-                print(ln, flush=True)
-                emitted = True
-        if r.returncode != 0 or not emitted:
+        # Stream through the same watchdog as single-config runs: a fully
+        # buffered child would be silent for up to 3 attempts x 900 s,
+        # which reads as a hang (CLAUDE.md: kill any TPU run silent ~5
+        # min) and loses completed configs' buffered results with it.
+        # The child runs its own 3-attempt supervisor, so the parent's
+        # budgets just bound the whole child run with headroom.
+        contract, why, rc = _run_attempt(
+            cmd,
+            timeout=3 * args.attempt_timeout + 120,
+            stall_timeout=args.stall_timeout + 60,
+        )
+        if contract is not None:
+            # The contract line is the deliverable, even if the child was
+            # killed mid-extras afterwards (mirrors the single-config
+            # supervisor's acceptance rule).
+            print(contract, flush=True)
+        else:
             failed.append(name)
-            phase(f"config {name} FAILED (rc={r.returncode}, "
-                  f"contract_line={emitted})")
+            phase(f"config {name} FAILED ({why or f'rc={rc}'}, "
+                  f"no contract line)")
     if failed:
         phase(f"all-configs: {len(failed)}/{len(configs)} configs missing "
               f"results: {', '.join(failed)}")

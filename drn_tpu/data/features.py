@@ -18,18 +18,20 @@ import numpy as np
 _warned_default_fps = False
 
 
-def effective_feature_fps(feature_fps: float) -> float:
+def effective_feature_fps(feature_fps: float, warn: bool = True) -> float:
     """Feature rows per second to use for seconds-from-rows durations.
 
     DataConfig.feature_fps == 0.0 means "not configured": assume 1 row/s
     but warn ONCE — the assumed rate silently scales every user-facing
     seconds output if it doesn't match the real extraction rate (tIoU /
     recall are scale-invariant, so metrics don't catch it). Passing an
-    explicit rate (even 1.0) is the opt-in that silences this."""
+    explicit rate (even 1.0) is the opt-in that silences this.
+    `warn=False` is for callers that surface the unset state themselves
+    (the preflight validator) — the fallback value stays shared."""
     global _warned_default_fps
     if feature_fps > 0.0:
         return feature_fps
-    if not _warned_default_fps:
+    if warn and not _warned_default_fps:
         _warned_default_fps = True
         warnings.warn(
             "DataConfig.feature_fps is unset; assuming 1.0 feature row per "

@@ -32,6 +32,7 @@ import numpy as np
 
 from drn_tpu.config import ExperimentConfig, get_config
 from drn_tpu.data.datasets import parse_examples
+from drn_tpu.data.features import effective_feature_fps
 from drn_tpu.data.features import FeatureReader
 from drn_tpu.data.vocab import UNK_ID, tokenize
 
@@ -193,7 +194,7 @@ def validate_split(cfg: ExperimentConfig, split: str, sample: int = 200,
     if durationless and t_raws:
         # (row counts were recorded during the feature pass above — no
         # second read of the sampled files)
-        fps = d.feature_fps if d.feature_fps > 0 else 1.0
+        fps = effective_feature_fps(d.feature_fps, warn=False)
         by_vid = {vid: n / fps for vid, n in rows_by_vid.items()}
         overs = [ex for ex in durationless if ex.video_id in by_vid
                  and ex.end_sec > by_vid[ex.video_id] * 1.05]

@@ -73,7 +73,7 @@ def main(argv=None):
         da["glove_path"] = args.glove_path
     if args.annotation_path:
         da["annotation_path"] = args.annotation_path
-    if args.feature_fps:
+    if args.feature_fps is not None:
         da["feature_fps"] = args.feature_fps
     if da:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))

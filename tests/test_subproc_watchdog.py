@@ -65,6 +65,78 @@ def test_watchdog_kills_on_total_timeout_despite_output():
     assert ("tick", True) in lines
 
 
+def test_watchdog_kills_grandchildren_too():
+    """The kill must take out the child's whole process group: a leaked
+    grandchild (e.g. bench.py's --inner process) would keep dispatching
+    work to the single relay-attached TPU during the retry attempt."""
+    import os
+    import signal
+
+    lines, on_line = _collect()
+    why, rc = run_with_watchdog(
+        [sys.executable, "-u", "-c",
+         "import subprocess, sys, time\n"
+         "p = subprocess.Popen([sys.executable, '-c',"
+         " 'import time; time.sleep(600)'])\n"
+         "print('gc', p.pid, flush=True)\n"
+         "time.sleep(600)\n"],
+        timeout=120, stall_timeout=10, on_line=on_line,
+    )
+    assert why is not None and rc != 0
+    gc_pid = next(int(l.split()[1]) for l, is_out in lines
+                  if l.startswith("gc "))
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        try:
+            os.kill(gc_pid, 0)
+        except ProcessLookupError:
+            return  # grandchild gone — group kill worked
+        time.sleep(0.2)
+    os.kill(gc_pid, signal.SIGKILL)  # clean up before failing
+    pytest.fail("grandchild survived the watchdog kill")
+
+
+def test_watchdog_child_dies_with_sigkilled_supervisor():
+    """If the supervisor itself is SIGKILLed (the round driver's timeout),
+    the kernel must take the child down via PDEATHSIG — a Python-level
+    watcher can be starved for minutes by a GIL-holding blocked main
+    thread (observed with axon backend init)."""
+    import os
+    import signal
+    import subprocess
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    sup_code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from drn_tpu.utils.subproc import run_with_watchdog\n"
+        "run_with_watchdog([sys.executable, '-c',\n"
+        "    'import os, time; print(\"cp\", os.getpid(), flush=True);'\n"
+        "    ' time.sleep(600)'],\n"
+        "    timeout=300, stall_timeout=300,\n"
+        "    on_line=lambda l, s: print(l, end='', flush=True))\n" % repo
+    )
+    sup = subprocess.Popen([sys.executable, "-u", "-c", sup_code],
+                           stdout=subprocess.PIPE, text=True)
+    try:
+        line = sup.stdout.readline()
+        assert line.startswith("cp "), line
+        child_pid = int(line.split()[1])
+        sup.kill()  # SIGKILL: no Python cleanup runs in the supervisor
+        sup.wait()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                os.kill(child_pid, 0)
+            except ProcessLookupError:
+                return  # kernel delivered PDEATHSIG — child gone
+            time.sleep(0.2)
+        os.kill(child_pid, signal.SIGKILL)  # clean up before failing
+        pytest.fail("child outlived its SIGKILLed supervisor")
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+
+
 def test_watchdog_merge_stderr():
     lines, on_line = _collect()
     why, rc = run_with_watchdog(
@@ -175,17 +247,14 @@ def test_redispatch_stalled_after_all_tries():
     assert time.time() - t0 < 10
 
 
-def _fake_run(results):
-    """subprocess.run stand-in: pops (rc, stdout) per call."""
-    class R:
-        def __init__(self, rc, out):
-            self.returncode, self.stdout, self.stderr = rc, out, ""
+def _args(**over):
+    import types
 
-    def run(cmd, **kw):
-        rc, out = results.pop(0)
-        return R(rc, out)
-
-    return run
+    base = dict(iters=8, attempt_timeout=60, stall_timeout=30,
+                batch_size=None, latency=False, profile=None, platform=None,
+                serial_compile=False)
+    base.update(over)
+    return types.SimpleNamespace(**base)
 
 
 def test_all_configs_exits_nonzero_on_missing_contract_line(monkeypatch,
@@ -193,20 +262,14 @@ def test_all_configs_exits_nonzero_on_missing_contract_line(monkeypatch,
     """--all-configs must not report success when a config produced no
     contract line (VERDICT r2: silent truncation reads as coverage)."""
     B = _bench()
-    import types
 
     n_cfg = 5  # charades x2, activitynet x2, tacos
-    ok = (0, '{"metric": "m", "value": 1.0, "unit": "queries/s"}\n')
-    results = [ok, (1, "")] + [ok] * (n_cfg - 2)
-    monkeypatch.setattr(B, "subprocess",
-                        types.SimpleNamespace(run=_fake_run(results)),
-                        raising=False)
-    args = types.SimpleNamespace(iters=8, attempt_timeout=60,
-                                 stall_timeout=30, batch_size=None,
-                                 latency=False, profile=None, platform=None,
-                                 serial_compile=False)
+    ok = ('{"metric": "m", "value": 1.0, "unit": "queries/s"}', None, 0)
+    results = [ok, (None, "stalled", 1)] + [ok] * (n_cfg - 2)
+    monkeypatch.setattr(B, "_run_attempt",
+                        lambda cmd, timeout, stall_timeout: results.pop(0))
     with pytest.raises(SystemExit) as e:
-        B.all_configs_main(args)
+        B.all_configs_main(_args())
     assert e.value.code == 1
     out = capsys.readouterr().out
     assert len([l for l in out.splitlines() if l.startswith("{")]) == n_cfg - 1
@@ -214,26 +277,51 @@ def test_all_configs_exits_nonzero_on_missing_contract_line(monkeypatch,
 
 def test_all_configs_forwards_latency_and_succeeds(monkeypatch, capsys):
     B = _bench()
-    import types
 
     seen_cmds = []
-    ok_line = '{"metric": "m_single_query_latency_us", "value": 140.0}\n'
+    ok_line = '{"metric": "m_single_query_latency_us", "value": 140.0}'
 
-    class R:
-        returncode, stdout, stderr = 0, ok_line, ""
-
-    def run(cmd, **kw):
+    def fake_attempt(cmd, timeout, stall_timeout):
         seen_cmds.append(cmd)
-        return R()
+        return ok_line, None, 0
 
-    monkeypatch.setattr(B, "subprocess", types.SimpleNamespace(run=run),
-                        raising=False)
-    args = types.SimpleNamespace(iters=2048, attempt_timeout=60,
-                                 stall_timeout=30, batch_size=None,
-                                 latency=True, profile=None, platform=None,
-                                 serial_compile=False)
-    B.all_configs_main(args)  # must NOT raise SystemExit
-    assert all("--latency" in c for c in seen_cmds)
+    monkeypatch.setattr(B, "_run_attempt", fake_attempt)
+    B.all_configs_main(_args(iters=2048, latency=True))  # must NOT exit
+    assert seen_cmds and all("--latency" in c for c in seen_cmds)
     out = capsys.readouterr().out
     assert len([l for l in out.splitlines() if l.startswith("{")]) == len(
         seen_cmds)
+
+
+def test_inner_exits_when_supervisor_dies():
+    """bench's --inner runs in its own session (group-killable), so an
+    externally SIGKILLed supervisor must not leak it: the orphan watcher
+    exits the inner once it reparents to init."""
+    import os
+    import subprocess
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    gc_code = (
+        "import sys; sys.path.insert(0, %r); import bench; "
+        "bench._exit_when_orphaned(0.2); import time; time.sleep(600)"
+        % repo
+    )
+    # The parent spawns the watched grandchild, reports its pid, and dies.
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import subprocess, sys\n"
+         "p = subprocess.Popen([sys.executable, '-c', sys.argv[1]])\n"
+         "print(p.pid, flush=True)\n",
+         gc_code],
+        capture_output=True, text=True, timeout=60,
+    )
+    gc_pid = int(out.stdout.strip())
+    deadline = time.time() + 30  # numpy import in the grandchild is slow
+    while time.time() < deadline:
+        try:
+            os.kill(gc_pid, 0)
+        except ProcessLookupError:
+            return  # inner exited on its own — orphan watcher worked
+        time.sleep(0.3)
+    os.kill(gc_pid, 9)  # clean up before failing
+    pytest.fail("orphaned inner kept running after its supervisor died")
