@@ -605,6 +605,59 @@ def inner_main(args):
     phase("inner done")
 
 
+def _relay_probe_ok(budget_s: float, platform: str | None = None) -> bool:
+    """One cheap TPU-relay liveness probe in a subprocess.
+
+    Import jax, run a tiny matmul, and force a `float()` fetch (the axon
+    backend acks dispatch, not completion — only the fetch proves the
+    round trip). A wedged relay hangs the probe at backend init forever,
+    so the probe runs under the same watchdog as measurement attempts.
+    `platform` redirects the probe off the relay (tests: the env var
+    alone can't — the sandbox pin wins over inherited JAX_PLATFORMS)."""
+    from drn_tpu.utils.subproc import run_with_watchdog
+
+    force = (f"jax.config.update('jax_platforms', {platform!r})\n"
+             if platform else "")
+    code = ("import jax\n" + force +
+            "import jax.numpy as jnp\n"
+            "x = jnp.ones((8, 128), jnp.float32)\n"
+            "print('probe', float((x @ x.T).sum()))\n")
+    why, rc = run_with_watchdog(
+        [sys.executable, "-c", code],
+        timeout=budget_s, stall_timeout=budget_s,
+        on_line=lambda line, is_stdout: None,
+    )
+    return why is None and rc == 0
+
+
+def _await_relay(max_wait_s: float, probe_budget_s: float = 120.0) -> bool:
+    """Hold measurement attempts until the relay answers a tiny probe.
+
+    During a relay OUTAGE (observed 2026-08-17: every new backend init
+    stalled for 30+ min) each measurement attempt burns its full
+    stall-timeout detecting a dead relay, and three attempts exhaust the
+    run. Probing is ~40 s when healthy and keeps timestamped stderr
+    flowing for the driver while waiting. Gives up (returns False) after
+    `max_wait_s` and lets the attempts proceed — they are then the only
+    remaining source of luck."""
+    start = time.time()
+    n = 0
+    while True:
+        n += 1
+        t0 = time.time()
+        if _relay_probe_ok(probe_budget_s):
+            phase(f"relay gate: probe {n} ok in {time.time() - t0:.0f}s")
+            return True
+        waited = time.time() - start
+        if waited + probe_budget_s > max_wait_s:
+            phase(f"relay gate: relay still dead after {n} probes / "
+                  f"{waited:.0f}s; proceeding on hope")
+            return False
+        phase(f"relay gate: probe {n} dead ({time.time() - t0:.0f}s); "
+              f"retrying in 15s")
+        time.sleep(15)
+
+
 def _run_attempt(cmd, timeout, stall_timeout):
     """Run one inner attempt, streaming output. Returns the last contract
     ('{'-prefixed stdout) line seen, or None. Kills the child on overall
@@ -668,6 +721,12 @@ def main():
                         "exceed the longest single silent phase — remote "
                         "compiles ran 10-30 s warm but relay hiccups of "
                         "~240 s have been observed")
+    p.add_argument("--relay-gate", type=int, default=900,
+                   help="before spending measurement attempts, wait up to "
+                        "this many seconds for the TPU relay to answer a "
+                        "tiny probe (0 disables); during a relay outage "
+                        "every attempt would otherwise burn its full "
+                        "stall-timeout at backend init")
     args = p.parse_args()
     if args.latency and args.batch_size:
         p.error("--latency measures the B=1 interactive path; it cannot "
@@ -712,6 +771,11 @@ def main():
     if env_extra:
         os.environ.update(env_extra)
 
+    # Gate on relay liveness before the first heavy attempt — unless the
+    # run targets another platform (CPU smoke runs never touch the relay).
+    if args.relay_gate > 0 and not args.platform:
+        _await_relay(args.relay_gate)
+
     flags = [[], ["--skip-train"], ["--skip-train", "--skip-torch"]]
     if args.skip_train:
         flags = [f if "--skip-train" in f else f + ["--skip-train"]
@@ -736,8 +800,8 @@ def main():
                       f"— accepting")
             print(contract)
             return
-        phase(f"attempt {attempt + 1} failed "
-              f"({why or f'rc={rc}'}); retrying degraded")
+        more = "retrying degraded" if attempt < 2 else "giving up"
+        phase(f"attempt {attempt + 1} failed ({why or f'rc={rc}'}); {more}")
     sys.exit(1)
 
 
@@ -746,10 +810,15 @@ def all_configs_main(args):
     item 6: make BASELINE.md's per-config rows tool-reproducible)."""
     configs = ["charades_c3d_batched_eval", "charades_i3d",
                "activitynet_c3d", "activitynet_i3d", "tacos_c3d"]
+    # Gate ONCE up front; children are told to skip their own gate (five
+    # healthy-relay probes would add ~3 min of pure overhead).
+    if args.relay_gate > 0 and not args.platform:
+        _await_relay(args.relay_gate)
     failed = []
     for name in configs:
         cmd = [sys.executable, __file__, "--config", name,
                "--iters", str(args.iters), "--skip-train", "--skip-torch",
+               "--relay-gate", "0",
                "--attempt-timeout", str(args.attempt_timeout),
                "--stall-timeout", str(args.stall_timeout)]
         if args.batch_size:

@@ -252,7 +252,7 @@ def _args(**over):
 
     base = dict(iters=8, attempt_timeout=60, stall_timeout=30,
                 batch_size=None, latency=False, profile=None, platform=None,
-                serial_compile=False)
+                serial_compile=False, relay_gate=0)
     base.update(over)
     return types.SimpleNamespace(**base)
 
@@ -325,3 +325,66 @@ def test_inner_exits_when_supervisor_dies():
         time.sleep(0.3)
     os.kill(gc_pid, 9)  # clean up before failing
     pytest.fail("orphaned inner kept running after its supervisor died")
+
+
+def test_relay_gate_retries_until_probe_succeeds(monkeypatch):
+    """During an outage the gate keeps probing (cheap) instead of letting
+    measurement attempts burn their full stall-timeout at backend init."""
+    B = _bench()
+
+    calls = {"n": 0}
+
+    def fake_probe(budget_s):
+        calls["n"] += 1
+        return calls["n"] >= 3  # dead, dead, alive
+
+    monkeypatch.setattr(B, "_relay_probe_ok", fake_probe)
+    monkeypatch.setattr(B.time, "sleep", lambda s: None)
+    assert B._await_relay(max_wait_s=3600, probe_budget_s=1) is True
+    assert calls["n"] == 3
+
+
+def test_relay_gate_gives_up_after_budget(monkeypatch):
+    """A relay outage longer than the gate budget must NOT hold the run
+    forever — the attempts remain the last chance."""
+    B = _bench()
+
+    monkeypatch.setattr(B, "_relay_probe_ok", lambda budget_s: False)
+    monkeypatch.setattr(B.time, "sleep", lambda s: None)
+    assert B._await_relay(max_wait_s=0.5, probe_budget_s=1) is False
+
+
+def test_relay_probe_runs_real_subprocess():
+    """The probe's subprocess mechanics end-to-end — forced onto the CPU
+    backend (an inherited JAX_PLATFORMS=cpu does NOT override the
+    sandbox's axon pin, so without `platform` this would probe the real
+    relay and flake with it)."""
+    B = _bench()
+
+    assert B._relay_probe_ok(budget_s=180, platform="cpu") is True
+
+
+def test_all_configs_gates_once_and_disables_child_gates(monkeypatch,
+                                                         capsys):
+    """--all-configs probes the relay once up front; five healthy-relay
+    probes in the children would be ~3 min of pure overhead."""
+    B = _bench()
+
+    gate_calls = []
+    monkeypatch.setattr(B, "_await_relay",
+                        lambda max_wait_s, probe_budget_s=120.0:
+                        gate_calls.append(max_wait_s) or True)
+    seen_cmds = []
+    ok = ('{"metric": "m", "value": 1.0, "unit": "queries/s"}', None, 0)
+
+    def fake_attempt(cmd, timeout, stall_timeout):
+        seen_cmds.append(cmd)
+        return ok
+
+    monkeypatch.setattr(B, "_run_attempt", fake_attempt)
+    B.all_configs_main(_args(relay_gate=900))
+    assert gate_calls == [900]
+    for cmd in seen_cmds:
+        i = cmd.index("--relay-gate")
+        assert cmd[i + 1] == "0"
+    capsys.readouterr()
