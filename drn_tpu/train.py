@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import sys
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -38,6 +39,7 @@ from drn_tpu.utils.checkpoint import (BestCheckpointTracker,
                                       CheckpointManager, load_loader_state,
                                       prefer_best_dir, save_loader_state)
 from drn_tpu.utils.logging import MetricLogger
+from drn_tpu.utils.preemption import PreemptionGuard, exit_code_for
 
 
 class TrainState(train_state.TrainState):
@@ -298,8 +300,14 @@ def selection_metric(results: Optional[Dict[str, float]]) -> Optional[float]:
 
 def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
           init_from: Optional[str] = None, max_steps: Optional[int] = None,
-          eval_fn=None) -> TrainState:
-    """Full training run; returns final state (host-side orchestration only)."""
+          eval_fn=None,
+          preemption_guard: Optional[PreemptionGuard] = None) -> TrainState:
+    """Full training run; returns final state (host-side orchestration only).
+
+    SIGTERM (cluster preemption notice) stops the loop at the next step
+    boundary, force-saves state + data-iterator position, and returns —
+    a `--resume` run then continues from the exact step. Pass your own
+    installed `preemption_guard` to observe `guard.triggered` after."""
     log = MetricLogger(f"train/{cfg.name}/stage{cfg.train.stage}",
                        tensorboard_dir=cfg.train.tensorboard_dir)
     vocab = build_vocab(cfg.data, cfg.model)
@@ -343,6 +351,11 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
 
     if eval_fn is None:
         eval_fn = _default_eval_fn(cfg, model, mesh, vocab=vocab)
+
+    guard = preemption_guard
+    own_guard = guard is None
+    if own_guard:
+        guard = PreemptionGuard().install()
 
     start_step = int(state.step)  # >0 when resumed from a checkpoint
     step = 0
@@ -414,6 +427,13 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
             if max_steps is not None and step >= max_steps:
                 done = True
                 break
+            if guard.preempted_at(step):
+                # Preemption notice: stop NOW (skip eval — the grace
+                # period is for the save); the post-loop force-save +
+                # loader-state blob below are the preemption checkpoint.
+                log.log(step, {"epoch": epoch, "preempted": 1.0})
+                done = True
+                break
         if (eval_fn is not None and not done
                 and cfg.train.eval_every_epochs > 0
                 and (epoch + 1) % cfg.train.eval_every_epochs == 0):
@@ -444,6 +464,8 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
     if best is not None:
         best.wait()
         best.close()
+    if own_guard:
+        guard.uninstall()
     return state
 
 
@@ -538,7 +560,15 @@ def main(argv=None):
                  else cfg.mesh.time_axis)
     mesh = (make_mesh(model_axis=model_axis, time_axis=time_axis)
             if len(jax.devices()) > 1 else None)
-    train(cfg, mesh=mesh, init_from=args.init_from, max_steps=args.max_steps)
+    guard = PreemptionGuard().install()
+    train(cfg, mesh=mesh, init_from=args.init_from, max_steps=args.max_steps,
+          preemption_guard=guard)
+    guard.uninstall()
+    if guard.triggered:
+        # EX_TEMPFAIL: the checkpoint is saved; a restart loop should
+        # resubmit with --resume (which is the config default).
+        print("preempted: state saved; rerun to resume", file=sys.stderr)
+        sys.exit(exit_code_for(guard))
 
 
 if __name__ == "__main__":
