@@ -16,9 +16,11 @@ Two coordination regimes:
   collective Orbax save at mismatched steps deadlocks. Defer to the JAX
   coordination service's preemption sync point
   (`multihost_utils.reached_preemption_sync_point`), which
-  `jax.distributed.initialize()` wires to SIGTERM: every process agrees
-  on the SAME step to act at. The chained previous handler (installed by
-  jax.distributed) keeps feeding that mechanism.
+  `jax.distributed.initialize()` wires to SIGTERM via XLA's C-level
+  PreemptionNotifier: every process agrees on the SAME step to act at.
+  The guard installs NO Python handler in this regime — it would replace
+  the C-level one (which `signal.getsignal` cannot see or chain) and
+  starve the sync point.
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ class PreemptionGuard:
         self._prev: dict = {}
         self.triggered = False
         self.installed = False
+        self._warned_no_sync = False
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -48,7 +51,16 @@ class PreemptionGuard:
         """Chain our flag-setter in front of any existing handler. Signal
         handlers only work in the main thread — elsewhere (e.g. a train()
         driven from a worker thread) degrade to never-triggering rather
-        than crash."""
+        than crash.
+
+        Multi-process: do NOT touch the handler at all. XLA's
+        PreemptionNotifier registers its SIGTERM handler at the C level
+        (invisible to `signal.getsignal`, so chaining can't preserve it);
+        a Python handler would REPLACE it and starve the coordination
+        service's sync point — the only safe stop signal multi-process
+        has. `preempted_at` polls that sync point instead."""
+        if jax.process_count() > 1:
+            return self
         try:
             for s in self._signals:
                 self._prev[s] = signal.signal(s, self._on_signal)
@@ -77,10 +89,7 @@ class PreemptionGuard:
     def _on_signal(self, signum, frame):
         self._flag.set()
         prev = self._prev.get(signum)
-        if callable(prev):
-            # jax.distributed's handler notifies the coordination
-            # service; without this chain the multi-process sync point
-            # below never fires.
+        if callable(prev):  # keep any pre-existing Python handler working
             prev(signum, frame)
 
     # -- per-step poll -----------------------------------------------------
@@ -94,7 +103,22 @@ class PreemptionGuard:
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            hit = bool(multihost_utils.reached_preemption_sync_point(step))
+            try:
+                hit = bool(
+                    multihost_utils.reached_preemption_sync_point(step)
+                )
+            except RuntimeError:
+                # preemption service disabled (jax_enable_preemption_service
+                # off): no safe coordinated stop exists — behave as before
+                # this feature (hard preemption), never half-coordinate.
+                if not self._warned_no_sync:
+                    self._warned_no_sync = True
+                    import warnings
+
+                    warnings.warn(
+                        "multi-process run without a preemption sync "
+                        "manager: SIGTERM will NOT checkpoint gracefully")
+                hit = False
         else:
             hit = self._flag.is_set()
         if hit:

@@ -140,3 +140,28 @@ def test_sigterm_saves_checkpoint_and_exits_75_then_resumes(tmp_path):
     steps_after = sorted(int(p.name) for p in stage_dir.iterdir()
                          if p.name.isdigit())
     assert saved_step + 3 in steps_after, (saved_step, steps_after)
+
+
+def test_multiprocess_mode_installs_no_handler_and_polls_sync_point(
+        monkeypatch):
+    """Multi-process: XLA's C-level PreemptionNotifier owns SIGTERM (a
+    Python handler would replace it invisibly and starve the sync point),
+    so install() must be a no-op and preempted_at must poll the
+    coordination service only — a local SIGTERM flag could trigger a
+    collective save at mismatched steps and deadlock."""
+    import jax
+
+    from drn_tpu.utils import preemption as P
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    prev = signal.getsignal(signal.SIGTERM)
+    g = P.PreemptionGuard().install()
+    try:
+        assert g.installed is False
+        assert signal.getsignal(signal.SIGTERM) is prev  # untouched
+        # Without a distributed client the sync point reports False
+        # (jax returns early) — never a local-flag fallback.
+        g._flag.set()
+        assert g.preempted_at(7) is False
+    finally:
+        g.uninstall()
