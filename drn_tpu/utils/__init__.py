@@ -9,14 +9,23 @@ def _host_tag() -> str:
 
     XLA:CPU AOT cache entries embed the compile machine's features; after
     a sandbox migration a stable cache path would feed mismatched
-    executables (the loader warns 'could lead to ... SIGILL'). Keying the
-    directory by the flags line makes a migrated host start a fresh cache
-    instead."""
+    executables (the loader warns 'could lead to ... SIGILL'). Key the
+    directory by the flags line AND the model/stepping lines: XLA also
+    derives LLVM tuning pseudo-features (prefer-no-gather/scatter) from
+    the CPU *model*, so two hosts with identical flags can still produce
+    incompatible AOT entries (observed 2026-08-17: a flags-matched cache
+    entry loaded with a feature-mismatch SIGILL warning)."""
     try:
+        keyed = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return f"{zlib.crc32(line.encode()) & 0xffffffff:08x}"
+                if line.startswith(("flags", "model", "stepping")):
+                    keyed.append(line)
+                if line.strip() == "":
+                    break  # first CPU block is enough; all cores match
+        if keyed:
+            blob = "".join(sorted(keyed)).encode()
+            return f"{zlib.crc32(blob) & 0xffffffff:08x}"
     except OSError:
         pass
     return "nocpuinfo"
