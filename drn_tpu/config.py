@@ -223,7 +223,8 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         data=dict(dataset="activitynet", feature_type="c3d", num_clips=256,
                   max_query_len=25),
         # Sweep (iters=96): 15.4k @8, 16.8/17.1k @16 (peak, ~75% MFU),
-        # 15.5k @32, 15.4k @64.
+        # 15.5k @32, 15.4k @64. With blocked IoU sampling (r3):
+        # 16.8/17.4k @16, 14.5k @32 — B=16 stays the optimum.
         eval=dict(batch_size=16),
     ),
     # 4) TACoS: fine-grained dense moments, high-resolution temporal grid.
@@ -236,10 +237,12 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         ),
         data=dict(dataset="tacos", feature_type="c3d", num_clips=512,
                   max_query_len=25),
-        # Sweep (iters=96): 3.4k @4, 5.1/5.0k @8 (peak, ~65% MFU),
-        # 4.9k @16, 4.8k @32 (old default), 4.7k @64. The 512-clip grid
-        # saturates HBM early; small batches win.
-        eval=dict(batch_size=8),
+        # Sweep (iters=96): 3.4k @4, 5.1/5.0k @8 (the pre-r3 peak),
+        # 4.9k @16, 4.8k @32, 4.7k @64. After the per-level blocked IoU
+        # sampling (heads.blocked_segment_samples) removed the (3N, N)
+        # selection tensor, the optimum moved UP: 5.4k @8, 5.2k @16,
+        # 5.72/5.71k @32 (two runs), 5.1k @64.
+        eval=dict(batch_size=32),
     ),
     # 5) End-to-end training on a TPU mesh (synthetic fixture runs everywhere).
     "synthetic_tiny": _cfg(

@@ -55,6 +55,38 @@ def test_integer_positions_select_exactly():
             np.testing.assert_array_equal(got[b, n], feat[b, int(p)])
 
 
+def test_blocked_samples_bit_identical_to_flat():
+    """IoU-head per-level blocked sampling == flat sampling over the level
+    concat, bit-for-bit — including the fp32 `pos − lo_ℓ` rebasing (exact
+    by Sterbenz because level offsets ≥ level size − 1). Pins the round-3
+    rewrite that removed the block-diagonal zero FLOPs (~22% of the TACoS
+    eval step)."""
+    from drn_tpu.models.heads import blocked_segment_samples
+
+    rng = np.random.default_rng(3)
+    sizes = [32, 16, 8, 4]  # 4-level pyramid, halving (the TACoS shape)
+    b, d = 3, 6
+    pyramid = [jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+               for t in sizes]
+    n = sum(sizes)
+    starts = np.cumsum([0] + sizes[:-1]).astype(np.float32)
+    level_ids = np.concatenate(
+        [np.full(t, i) for i, t in enumerate(sizes)])
+    lo = starts[level_ids]
+    hi = lo + np.asarray(sizes, np.float32)[level_ids] - 1.0
+    # flat positions clipped inside each location's own level, fractional,
+    # including exact-boundary and sub-grid values
+    raw = rng.uniform(-4.0, 40.0, size=(b, 3 * n)).astype(np.float32)
+    pos = np.clip(raw, np.tile(lo, 3), np.tile(hi, 3))
+    pos = jnp.asarray(pos)
+
+    got = np.asarray(blocked_segment_samples(pyramid, pos, sizes))
+    s = np.asarray(linear_time_sample(jnp.concatenate(pyramid, axis=1), pos))
+    want = np.concatenate([s[:, :n], s[:, n : 2 * n], s[:, 2 * n :]],
+                          axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_out_of_range_positions_clip():
     feat = np.arange(12, dtype=np.float32).reshape(1, 4, 3)
     pos = np.asarray([[-5.0, 99.0]], np.float32)
