@@ -25,8 +25,8 @@ from drn_tpu.data.pipeline import (invalid_like, make_batch_iterator,
 from drn_tpu.models import DRN
 from drn_tpu.ops.nms import temporal_nms
 from drn_tpu.ops.metrics import metric_name, recall_at_n
-from drn_tpu.parallel import (batch_sharding, feature_sharding,
-                              mesh_process_count)
+from drn_tpu.parallel import (batch_sharding, coordination_barrier,
+                              feature_sharding, mesh_process_count)
 from drn_tpu.utils.checkpoint import CheckpointManager, prefer_best_dir
 from drn_tpu.utils.logging import MetricLogger
 
@@ -175,8 +175,17 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
     # relay-attached TPUs dominates the 3 ms step).
     totals_dev: Optional[Dict[Tuple[int, float], jnp.ndarray]] = None
     n_total_dev = None
+    exec_step = step
     for jb in _device_batches(batches, bsh, multiproc):
-        counts, n_valid, *_ = step(params, jb)
+        if multiproc and exec_step is step:
+            # AOT-compile + coordination-service rendezvous before the
+            # first execution: Gloo's per-executable first-collective
+            # deadline is a hard ~30 s, which compile-time skew between
+            # processes can exceed (parallel/mesh.py::coordination_barrier).
+            # Shapes are static, so the compiled object serves every batch.
+            exec_step = step.lower(params, jb).compile()
+            coordination_barrier("drn_eval_step_compiled")
+        counts, n_valid, *_ = exec_step(params, jb)
         if totals_dev is None:
             totals_dev, n_total_dev = counts, n_valid
         else:

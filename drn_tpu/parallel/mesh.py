@@ -15,11 +15,45 @@ XLA's SPMD partitioner does the rest (scaling-book recipe).
 
 from __future__ import annotations
 
+import itertools
 from typing import Any
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+_BARRIER_SEQ = itertools.count()
+
+
+def coordination_barrier(name: str, timeout_s: float = 600.0) -> None:
+    """Host-side process rendezvous through the coordination service.
+
+    This is NOT a device collective — it is an RPC to the jax.distributed
+    coordinator, so it tolerates arbitrarily skewed arrival (up to
+    `timeout_s`). Use it right after compiling a program and before its
+    first execution in a multi-process run: Gloo (the CPU inter-process
+    collective backend) builds a fresh context at each executable's FIRST
+    collective with a hard-coded ~30 s key-exchange deadline, so a process
+    that finishes compiling ahead of a sibling (cold or invalidated
+    compilation cache — observed when a sandbox live-migration changed the
+    host CPU mid-run and XLA:CPU rejected every AOT cache entry) dies with
+    Gloo DEADLINE_EXCEEDED while the sibling is still compiling. After
+    this barrier the 30 s window only has to cover execution skew.
+
+    Barrier ids must be unique per rendezvous; a process-local sequence
+    number is appended, which stays consistent across processes because
+    the training/eval code is SPMD (every process reaches the same barrier
+    call sites in the same order). No-op when jax.distributed is not
+    initialized (single-process).
+    """
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    client.wait_at_barrier(f"{name}#{next(_BARRIER_SEQ)}",
+                           timeout_in_ms=int(timeout_s * 1000))
 
 
 def make_mesh(n_devices: int | None = None, model_axis: int = 1,

@@ -33,7 +33,8 @@ from drn_tpu.data.pipeline import (build_vocab, invalid_like,
 from drn_tpu.models import DRN
 from drn_tpu.models.drn import location_metadata
 from drn_tpu.models.losses import drn_loss
-from drn_tpu.parallel import (batch_sharding, feature_sharding, make_mesh,
+from drn_tpu.parallel import (batch_sharding, coordination_barrier,
+                              feature_sharding, make_mesh,
                               mesh_process_count, param_shardings, replicate)
 from drn_tpu.utils.checkpoint import (BestCheckpointTracker,
                                       CheckpointManager, load_loader_state,
@@ -348,6 +349,13 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
     if mesh is not None:
         state = shard_state(state, mesh)
     train_step = make_train_step(cfg, model, mesh)
+    # Multi-process: AOT-compile on the first batch, rendezvous through
+    # the coordination service, then execute the compiled object (shapes
+    # are static, so one executable serves every step). Without this, a
+    # process whose compile finishes first hits Gloo's hard ~30 s
+    # first-collective deadline while a sibling is still compiling
+    # (parallel/mesh.py::coordination_barrier).
+    compiled_step = None
 
     if eval_fn is None:
         eval_fn = _default_eval_fn(cfg, model, mesh, vocab=vocab)
@@ -404,7 +412,11 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
                 assert b % n_proc == 0, (b, n_proc)
                 lo = (b // n_proc) * pi
                 batch = {k: v[lo:lo + b // n_proc] for k, v in batch.items()}
-            state, metrics = train_step(state, put_batch(batch, mesh))
+            pb = put_batch(batch, mesh)
+            if multiproc and compiled_step is None:
+                compiled_step = train_step.lower(state, pb).compile()
+                coordination_barrier("drn_train_step_compiled")
+            state, metrics = (compiled_step or train_step)(state, pb)
             step += 1
             if step % cfg.train.log_every_steps == 0 or step == 1:
                 log.log(step, {"epoch": epoch, **jax.device_get(metrics)})

@@ -27,6 +27,8 @@ import tempfile
 import numpy as np
 import pytest
 
+from drn_tpu.utils import jit_cache_dir
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CACHE_DIR = tempfile.mkdtemp(prefix="drn_mp_jit_cache_")
 
@@ -101,13 +103,26 @@ batches = make_batch_iterator(cfg=dataclasses.replace(cfg.data, num_workers=0),
                               dataset=dataset, shuffle=False, seed=0)
 losses = []
 it = batches.epoch(0)
+compiled_step = None
 for _ in range(3):
     batch = next(it)
     # identical global batches on every process: keep this process's rows
     b = batch["valid"].shape[0]
     lo = (b // nproc) * pid
     local = {k: v[lo:lo + b // nproc] for k, v in batch.items()}
-    state, metrics = train_step(state, put_batch(local, mesh))
+    pb = put_batch(local, mesh)
+    if compiled_step is None:
+        # AOT-compile, then rendezvous through the coordination service
+        # before the first execution: Gloo's per-executable
+        # first-collective deadline is a hard ~30 s, which compile skew
+        # between the workers exceeds whenever the shared cache is cold
+        # or invalidated (e.g. after a sandbox host migration).
+        compiled_step = train_step.lower(state, pb).compile()
+        if nproc > 1:
+            from drn_tpu.parallel import coordination_barrier
+
+            coordination_barrier("worker_train_compiled")
+    state, metrics = compiled_step(state, pb)
     losses.append(float(metrics["loss"]))
 
 test_ds = make_dataset(cfg.data, cfg.model, split="test")
@@ -140,7 +155,10 @@ class _ShardSim:
 ragged_losses = []
 short = _ShardSim(batches, 1 if (nproc > 1 and pid == 1) else 2)
 for local in lockstep_epoch(short, 1, 0, 2):
-    state, m = train_step(state, put_batch(local, mesh))
+    # same shapes as the main loop -> reuse the AOT executable (also keeps
+    # Gloo on the already-established context instead of opening a fresh
+    # 30 s rendezvous window).
+    state, m = compiled_step(state, put_batch(local, mesh))
     ragged_losses.append(float(m["loss"]))
 
 out = {"pid": pid, "losses": losses, "results": results,
@@ -178,10 +196,15 @@ def _run_workers_once(nproc: int, workers: int, timeout: int):
     env["JAX_PLATFORMS"] = "cpu"
     # Shared across both workers and across attempts: a retry after a
     # rendezvous flake recompiles everything from cache in ~seconds.
-    # Per-pytest-run directory (NOT a stable /tmp path): XLA:CPU AOT
-    # entries embed host CPU features, and a cache surviving a sandbox
-    # migration can feed a mismatched executable (SIGILL risk).
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+    # Per-pytest-run directory (NOT a stable /tmp path) AND suffixed with
+    # the host-CPU fingerprint evaluated PER ATTEMPT: XLA:CPU AOT entries
+    # embed the compile machine's features, and this sandbox live-migrates
+    # hosts — a mid-run migration once invalidated every cached entry
+    # (loader: "Machine type ... doesn't match"), forcing both workers
+    # into divergent from-scratch recompiles that blew Gloo's 30 s
+    # first-collective deadline. A fingerprinted dir makes the retry
+    # start a clean, valid cache on the new host.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", jit_cache_dir(_CACHE_DIR))
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(port), str(nproc), str(i),
