@@ -122,6 +122,28 @@ class GroundingHeads(nn.Module):
         return d[..., 0], d[..., 1], match_logits
 
 
+# Below this many total locations the flat single-einsum form wins: the
+# per-level split's extra dispatches/concats cost more than the spared
+# block-diagonal-zero FLOPs. Measured same-day A/B on v5e (iters=96):
+# charades_i3d (3 levels, N=112, B=64) flat 76.8k q/s vs blocked
+# 68.3–70.9k (−9%); charades_c3d (N=112, B=48) neutral within noise;
+# activitynet (4 levels, N=480) blocked +5–17%; tacos (N=960) blocked
+# +13%. The two forms are bit-identical, so the switch is purely a
+# performance decision.
+_BLOCKED_SAMPLING_MIN_LOCATIONS = 256
+
+
+def flat_segment_samples(
+    pyramid: List[jnp.ndarray], pos: jnp.ndarray, sizes: Sequence[int]
+) -> jnp.ndarray:
+    """One selection einsum over the level concat (small-grid fast path)."""
+    n = sum(sizes)
+    s = linear_time_sample(jnp.concatenate(pyramid, axis=1), pos)
+    return jnp.concatenate(
+        [s[:, :n], s[:, n : 2 * n], s[:, 2 * n :]], axis=-1
+    )
+
+
 def blocked_segment_samples(
     pyramid: List[jnp.ndarray], pos: jnp.ndarray, sizes: Sequence[int]
 ) -> jnp.ndarray:
@@ -135,7 +157,7 @@ def blocked_segment_samples(
     level's features only. At 4-level configs this is ~2.7× fewer
     selection FLOPs (Σ(3T_ℓ)·T_ℓ vs 3N·N: ~22% of the whole TACoS eval
     step) and a (3T_ℓ, T_ℓ) instead of (3N, N) materialized selection
-    tensor. Bit-identical to `linear_time_sample(concat(pyramid), pos)`:
+    tensor. Bit-identical to `flat_segment_samples`:
     `pos − lo_ℓ` is EXACT in fp32 (Sterbenz: pos ∈ [lo_ℓ, lo_ℓ+T_ℓ−1] and
     lo_ℓ ≥ T_ℓ−1 for every level — level offsets grow at least as fast as
     level sizes), so floor/weights/selections match the flat computation
@@ -188,7 +210,10 @@ class IoUHead(nn.Module):
         # matmuls instead of three (see linear_time_sample).
         pos = jnp.concatenate(
             [to_idx(start), to_idx(mid), to_idx(end)], axis=1)  # (B, 3N)
-        sampled = blocked_segment_samples(pyramid, pos, sizes)  # (B, N, 3D)
+        sample = (blocked_segment_samples
+                  if sum(sizes) >= _BLOCKED_SAMPLING_MIN_LOCATIONS
+                  else flat_segment_samples)  # measured switch, see above
+        sampled = sample(pyramid, pos, sizes)                   # (B, N, 3D)
 
         x = sampled.astype(cdt(cfg))
         for i in range(cfg.iou_head_layers):

@@ -61,7 +61,8 @@ def test_blocked_samples_bit_identical_to_flat():
     by Sterbenz because level offsets ≥ level size − 1). Pins the round-3
     rewrite that removed the block-diagonal zero FLOPs (~22% of the TACoS
     eval step)."""
-    from drn_tpu.models.heads import blocked_segment_samples
+    from drn_tpu.models.heads import (blocked_segment_samples,
+                                      flat_segment_samples)
 
     rng = np.random.default_rng(3)
     sizes = [32, 16, 8, 4]  # 4-level pyramid, halving (the TACoS shape)
@@ -81,10 +82,14 @@ def test_blocked_samples_bit_identical_to_flat():
     pos = jnp.asarray(pos)
 
     got = np.asarray(blocked_segment_samples(pyramid, pos, sizes))
-    s = np.asarray(linear_time_sample(jnp.concatenate(pyramid, axis=1), pos))
-    want = np.concatenate([s[:, :n], s[:, n : 2 * n], s[:, 2 * n :]],
-                          axis=-1)
+    want = np.asarray(flat_segment_samples(pyramid, pos, sizes))
     np.testing.assert_array_equal(got, want)
+    # and the flat form itself matches the raw concat sampling layout
+    s = np.asarray(linear_time_sample(jnp.concatenate(pyramid, axis=1), pos))
+    np.testing.assert_array_equal(
+        want,
+        np.concatenate([s[:, :n], s[:, n : 2 * n], s[:, 2 * n :]], axis=-1),
+    )
 
 
 def test_out_of_range_positions_clip():

@@ -102,3 +102,12 @@ def test_dp_tp_hybrid_runs():
     assert np.isfinite(float(metrics["loss"]))
     state, metrics2 = step(state, put_batch(batch, mesh))
     assert float(metrics2["loss"]) < float(metrics["loss"]) + 1.0
+
+
+def test_coordination_barrier_single_process_noop():
+    """Without jax.distributed the barrier must be a cheap no-op (the
+    single-process paths in train/evaluate call it unconditionally gated
+    on multiproc, but the utility itself must also be safe standalone)."""
+    from drn_tpu.parallel import coordination_barrier
+
+    coordination_barrier("unit-test")  # returns without error
