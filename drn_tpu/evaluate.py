@@ -182,9 +182,21 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
             # first execution: Gloo's per-executable first-collective
             # deadline is a hard ~30 s, which compile-time skew between
             # processes can exceed (parallel/mesh.py::coordination_barrier).
-            # Shapes are static, so the compiled object serves every batch.
-            exec_step = step.lower(params, jb).compile()
-            coordination_barrier("drn_eval_step_compiled")
+            # Shapes are static, so the compiled object serves every batch —
+            # and is cached ON the jitted step across evaluate() calls
+            # (periodic val eval must not recompile every epoch). The cache
+            # state evolves identically on every process (SPMD), so the
+            # barrier fires on the same calls everywhere.
+            key = tuple(sorted(
+                (k, v.shape, str(v.dtype)) for k, v in jb.items()
+            ))
+            cache = getattr(step, "_aot_cache", None)
+            if cache is None:
+                cache = step._aot_cache = {}
+            if key not in cache:
+                cache[key] = step.lower(params, jb).compile()
+                coordination_barrier("drn_eval_step_compiled")
+            exec_step = cache[key]
         counts, n_valid, *_ = exec_step(params, jb)
         if totals_dev is None:
             totals_dev, n_total_dev = counts, n_valid
