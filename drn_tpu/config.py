@@ -177,6 +177,9 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
     "charades_i3d": _cfg(
         "charades_i3d",
         model=dict(feature_dim=1024),
+        # Train batch stays the recipe default (32); throughput-optimal
+        # measured at 128 (16,186 ex/s @128 vs 15,114 @384, sweep_r3.log —
+        # the light 1024-d stem saturates earlier than c3d's 384).
         data=dict(dataset="charades", feature_type="i3d", num_clips=64),
         # v5e eval-batch sweep (iters=96; sweep_r3.log): 69.7k q/s @32,
         # 73.8k @48, 74.2/76.5/77.4k @64, 77.1/72.6k @96 (tied with 64
@@ -206,6 +209,8 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
             num_levels=4,
             level_ranges=((0.0, 0.12), (0.12, 0.25), (0.25, 0.5), (0.5, 2.0)),
         ),
+        # Train batch stays the recipe default (32); throughput-optimal
+        # measured at 128 (4,069 ex/s @32 → 4,348 @128, sweep_r3.log).
         data=dict(dataset="activitynet", feature_type="i3d", num_clips=256,
                   max_query_len=25),
         # v5e eval-batch sweep (iters=96, 2026-08-17): 15.5k q/s @8,
@@ -220,6 +225,11 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
             num_levels=4,
             level_ranges=((0.0, 0.12), (0.12, 0.25), (0.25, 0.5), (0.5, 2.0)),
         ),
+        # Train batch stays the recipe default (32): raising it changes
+        # convergence, not just speed. Throughput-optimal train batch
+        # measured at 128 (iters=96, sweep_r3.log: 4,259 ex/s @32,
+        # 4,441 @128 peak 51.9% MFU, 4,141 @256) — users scaling the LR
+        # accordingly can pass --batch-size 128.
         data=dict(dataset="activitynet", feature_type="c3d", num_clips=256,
                   max_query_len=25),
         # Sweep (iters=96): 15.4k @8, 16.8/17.1k @16 (peak, ~75% MFU),
@@ -235,6 +245,11 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
             num_levels=4,
             level_ranges=((0.0, 0.08), (0.08, 0.18), (0.18, 0.4), (0.4, 2.0)),
         ),
+        # Train batch stays the recipe default (32). Throughput-optimal
+        # train batch measured at 64 (iters=96, sweep_r3.log: 1,748 ex/s
+        # @32, 1,813 @64 peak 59.2% MFU — the 512-clip grid fills the MXU
+        # without huge batches, 1,759 @128); pass --batch-size 64 with a
+        # rescaled LR to trade recipe fidelity for speed.
         data=dict(dataset="tacos", feature_type="c3d", num_clips=512,
                   max_query_len=25),
         # Sweep (iters=96): 3.4k @4, 5.1/5.0k @8 (the pre-r3 peak),

@@ -25,7 +25,7 @@ from drn_tpu.data.pipeline import (invalid_like, make_batch_iterator,
 from drn_tpu.models import DRN
 from drn_tpu.ops.nms import temporal_nms
 from drn_tpu.ops.metrics import metric_name, recall_at_n
-from drn_tpu.parallel import (batch_sharding, coordination_barrier,
+from drn_tpu.parallel import (aot_compile_synced, batch_sharding,
                               feature_sharding, mesh_process_count)
 from drn_tpu.utils.checkpoint import CheckpointManager, prefer_best_dir
 from drn_tpu.utils.logging import MetricLogger
@@ -181,21 +181,30 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
             # AOT-compile + coordination-service rendezvous before the
             # first execution: Gloo's per-executable first-collective
             # deadline is a hard ~30 s, which compile-time skew between
-            # processes can exceed (parallel/mesh.py::coordination_barrier).
+            # processes can exceed (parallel/mesh.py::aot_compile_synced).
             # Shapes are static, so the compiled object serves every batch —
             # and is cached ON the jitted step across evaluate() calls
-            # (periodic val eval must not recompile every epoch). The cache
-            # state evolves identically on every process (SPMD), so the
-            # barrier fires on the same calls everywhere.
-            key = tuple(sorted(
-                (k, v.shape, str(v.dtype)) for k, v in jb.items()
-            ))
+            # (periodic val eval must not recompile every epoch). The key
+            # covers the batch AND the params placement: the executable is
+            # specialized to input shardings, so the same step evaluated
+            # later with differently-placed params (e.g. host/replicated
+            # after a TP-sharded training run) must recompile, not hit.
+            # The cache state evolves identically on every process (SPMD),
+            # so the barrier fires on the same calls everywhere.
+            def _leaf_sig(v):
+                return (v.shape, str(v.dtype), str(getattr(v, "sharding", "")))
+
+            key = (
+                tuple(sorted((k,) + _leaf_sig(v) for k, v in jb.items())),
+                tuple(_leaf_sig(v) for v in jax.tree_util.tree_leaves(params)),
+            )
             cache = getattr(step, "_aot_cache", None)
             if cache is None:
                 cache = step._aot_cache = {}
             if key not in cache:
-                cache[key] = step.lower(params, jb).compile()
-                coordination_barrier("drn_eval_step_compiled")
+                cache[key] = aot_compile_synced(
+                    step, params, jb, name="drn_eval_step_compiled"
+                )
             exec_step = cache[key]
         counts, n_valid, *_ = exec_step(params, jb)
         if totals_dev is None:

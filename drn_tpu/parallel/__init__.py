@@ -1,4 +1,5 @@
 from drn_tpu.parallel.mesh import (  # noqa: F401
+    aot_compile_synced,
     batch_sharding,
     coordination_barrier,
     feature_sharding,

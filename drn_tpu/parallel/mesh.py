@@ -15,6 +15,7 @@ XLA's SPMD partitioner does the rest (scaling-book recipe).
 
 from __future__ import annotations
 
+import collections
 import itertools
 from typing import Any
 
@@ -23,7 +24,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-_BARRIER_SEQ = itertools.count()
+_BARRIER_SEQ: "collections.defaultdict[str, itertools.count]" = (
+    collections.defaultdict(itertools.count)
+)
 
 
 def coordination_barrier(name: str, timeout_s: float = 600.0) -> None:
@@ -41,10 +44,14 @@ def coordination_barrier(name: str, timeout_s: float = 600.0) -> None:
     Gloo DEADLINE_EXCEEDED while the sibling is still compiling. After
     this barrier the 30 s window only has to cover execution skew.
 
-    Barrier ids must be unique per rendezvous; a process-local sequence
-    number is appended, which stays consistent across processes because
-    the training/eval code is SPMD (every process reaches the same barrier
-    call sites in the same order). No-op when jax.distributed is not
+    Barrier ids must be unique per rendezvous; a PER-NAME sequence number
+    is appended, which stays consistent across processes because the
+    training/eval code is SPMD (every process reaches each named barrier
+    site the same number of times, in order). The counter is per name —
+    not global — so call sites cannot couple: if two sites ever diverge
+    in call count across processes, each site's ids still only ever meet
+    their own, turning a cross-site id collision (silent wrong rendezvous)
+    into a loud same-site timeout. No-op when jax.distributed is not
     initialized (single-process).
     """
     from jax._src import distributed
@@ -52,8 +59,22 @@ def coordination_barrier(name: str, timeout_s: float = 600.0) -> None:
     client = distributed.global_state.client
     if client is None:
         return
-    client.wait_at_barrier(f"{name}#{next(_BARRIER_SEQ)}",
+    client.wait_at_barrier(f"{name}#{next(_BARRIER_SEQ[name])}",
                            timeout_in_ms=int(timeout_s * 1000))
+
+
+def aot_compile_synced(jitted, *args, name: str, timeout_s: float = 600.0):
+    """AOT-compile `jitted(*args)` and rendezvous before first execution.
+
+    The one idiom multi-process first-steps need (train loop, eval loop,
+    tests): compile the executable, then meet every peer at a
+    coordination-service barrier so that no process enters the program's
+    first collective — where Gloo's hard ~30 s context deadline lives —
+    while a peer is still compiling. Returns the compiled executable
+    (static shapes: one executable serves every subsequent step)."""
+    compiled = jitted.lower(*args).compile()
+    coordination_barrier(name, timeout_s)
+    return compiled
 
 
 def make_mesh(n_devices: int | None = None, model_axis: int = 1,

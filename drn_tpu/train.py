@@ -33,7 +33,7 @@ from drn_tpu.data.pipeline import (build_vocab, invalid_like,
 from drn_tpu.models import DRN
 from drn_tpu.models.drn import location_metadata
 from drn_tpu.models.losses import drn_loss
-from drn_tpu.parallel import (batch_sharding, coordination_barrier,
+from drn_tpu.parallel import (aot_compile_synced, batch_sharding,
                               feature_sharding, make_mesh,
                               mesh_process_count, param_shardings, replicate)
 from drn_tpu.utils.checkpoint import (BestCheckpointTracker,
@@ -414,8 +414,9 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
                 batch = {k: v[lo:lo + b // n_proc] for k, v in batch.items()}
             pb = put_batch(batch, mesh)
             if multiproc and compiled_step is None:
-                compiled_step = train_step.lower(state, pb).compile()
-                coordination_barrier("drn_train_step_compiled")
+                compiled_step = aot_compile_synced(
+                    train_step, state, pb, name="drn_train_step_compiled"
+                )
             state, metrics = (compiled_step or train_step)(state, pb)
             step += 1
             if step % cfg.train.log_every_steps == 0 or step == 1:

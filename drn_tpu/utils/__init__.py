@@ -1,11 +1,16 @@
-import functools
 import os
 import zlib
 
 
-@functools.lru_cache(None)
 def _host_tag() -> str:
     """Short fingerprint of the host CPU feature set.
+
+    Deliberately NOT cached: this sandbox live-migrates hosts mid-process
+    (observed 2026-08-18 — XLA:CPU rejected every AOT cache entry written
+    before the migration), and callers like the multi-process test harness
+    re-evaluate the fingerprint per retry attempt precisely so a retry
+    after a migration lands in a fresh, valid cache directory. One
+    /proc/cpuinfo read per call is negligible next to any compile.
 
     XLA:CPU AOT cache entries embed the compile machine's features; after
     a sandbox migration a stable cache path would feed mismatched

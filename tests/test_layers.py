@@ -76,8 +76,11 @@ def test_blocked_samples_bit_identical_to_flat():
     lo = starts[level_ids]
     hi = lo + np.asarray(sizes, np.float32)[level_ids] - 1.0
     # flat positions clipped inside each location's own level, fractional,
-    # including exact-boundary and sub-grid values
-    raw = rng.uniform(-4.0, 40.0, size=(b, 3 * n)).astype(np.float32)
+    # including exact-boundary and sub-grid values. The range spans the
+    # FULL flat grid (levels 2-3 live at offsets 48/56-59): a narrower
+    # range would clip every deep-level position to exactly lo, never
+    # exercising fractional `pos − lo` rebasing at large offsets.
+    raw = rng.uniform(-4.0, 64.0, size=(b, 3 * n)).astype(np.float32)
     pos = np.clip(raw, np.tile(lo, 3), np.tile(hi, 3))
     pos = jnp.asarray(pos)
 

@@ -112,16 +112,16 @@ for _ in range(3):
     local = {k: v[lo:lo + b // nproc] for k, v in batch.items()}
     pb = put_batch(local, mesh)
     if compiled_step is None:
-        # AOT-compile, then rendezvous through the coordination service
-        # before the first execution: Gloo's per-executable
-        # first-collective deadline is a hard ~30 s, which compile skew
-        # between the workers exceeds whenever the shared cache is cold
-        # or invalidated (e.g. after a sandbox host migration).
-        compiled_step = train_step.lower(state, pb).compile()
-        if nproc > 1:
-            from drn_tpu.parallel import coordination_barrier
+        # Compile, then rendezvous before the first execution: Gloo's
+        # per-executable first-collective deadline is a hard ~30 s, which
+        # compile skew between the workers exceeds whenever the shared
+        # cache is cold or invalidated (e.g. after a sandbox host
+        # migration). aot_compile_synced no-ops the barrier at nproc=1.
+        from drn_tpu.parallel import aot_compile_synced
 
-            coordination_barrier("worker_train_compiled")
+        compiled_step = aot_compile_synced(
+            train_step, state, pb, name="worker_train_compiled"
+        )
     state, metrics = compiled_step(state, pb)
     losses.append(float(metrics["loss"]))
 
