@@ -40,6 +40,8 @@ def chained_time(run_k, iters=16, warmup=2, reps=5):
 
 
 def main():
+    import argparse
+
     from drn_tpu.config import get_config
     from drn_tpu.models.drn import location_metadata
     from drn_tpu.models.fpn import TemporalFPN
@@ -47,7 +49,10 @@ def main():
     from drn_tpu.models.heads import GroundingHeads, IoUHead
     from drn_tpu.train import build_model, init_state, make_optimizer
 
-    cfg = get_config("charades_c3d_batched_eval")
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="charades_c3d_batched_eval")
+    args = p.parse_args()
+    cfg = get_config(args.config)
     m = cfg.model
     b, base = cfg.eval.batch_size, cfg.data.num_clips
     rng = np.random.default_rng(0)
@@ -110,21 +115,25 @@ def main():
         {"params": params["iou_head"]}, list(lv), segments, level_ids,
         strides), *levels)
 
-    # IoU head sampling only (the 6 gathers + concat)
-    from drn_tpu.models.layers import linear_time_sample
+    # IoU head sampling only — the PRODUCTION path (shape-adaptive
+    # flat/blocked dispatch), so this row reflects what the model runs.
+    from drn_tpu.models.heads import (_BLOCKED_SAMPLING_MIN_LOCATIONS,
+                                      blocked_segment_samples,
+                                      flat_segment_samples)
 
     def sampling_only(*lv):
-        feats = jnp.concatenate(lv, axis=1)
         starts_np = np.cumsum([0] + sizes[:-1]).astype(np.float32)
         lo = jnp.asarray(starts_np)[level_ids]
         hi = lo + jnp.asarray(np.asarray(sizes, np.float32))[level_ids] - 1.0
         start, end = segments[..., 0], segments[..., 1]
         mid = 0.5 * (start + end)
         to_idx = lambda p: jnp.clip(p / strides - 0.5 + lo, lo, hi)
-        return jnp.concatenate(
-            [linear_time_sample(feats, to_idx(start)),
-             linear_time_sample(feats, to_idx(mid)),
-             linear_time_sample(feats, to_idx(end))], axis=-1)
+        pos = jnp.concatenate(
+            [to_idx(start), to_idx(mid), to_idx(end)], axis=1)
+        sample = (blocked_segment_samples
+                  if n >= _BLOCKED_SAMPLING_MIN_LOCATIONS
+                  else flat_segment_samples)
+        return sample(list(lv), pos, sizes)
 
     measure("iou sampling only", sampling_only, *levels)
 
