@@ -38,27 +38,34 @@ def test_watchdog_passes_through_clean_exit():
 
 
 def test_watchdog_kills_on_stall_but_keeps_earlier_output():
+    # Stall windows must dwarf interpreter startup: under a saturated host
+    # (full suite + concurrent compiles) a bare `python -c print(...)` has
+    # been observed to take >10 s to its first line, which kills the child
+    # before the output these tests assert on exists.
     lines, on_line = _collect()
     t0 = time.time()
     why, rc = run_with_watchdog(
         [sys.executable, "-S", "-u", "-c",
          "print('alive', flush=True); import time; time.sleep(600)"],
-        timeout=120, stall_timeout=3, on_line=on_line,
+        timeout=600, stall_timeout=15, on_line=on_line,
     )
     assert why is not None and "stalled" in why
     assert rc != 0
-    assert time.time() - t0 < 60  # killed at ~stall, nowhere near timeout
+    assert time.time() - t0 < 300  # killed at ~stall, nowhere near timeout
     assert ("alive", True) in lines
 
 
 def test_watchdog_kills_on_total_timeout_despite_output():
     # A chatty child never trips the stall detector; the total budget must.
     lines, on_line = _collect()
+    # timeout must cover loaded-host startup (see note above) so at least
+    # one tick exists; stall_timeout stays far above the tick period so
+    # only the total budget can fire.
     why, rc = run_with_watchdog(
         [sys.executable, "-S", "-u", "-c",
          "import time\n"
          "while True: print('tick', flush=True); time.sleep(1)"],
-        timeout=4, stall_timeout=30, on_line=on_line,
+        timeout=15, stall_timeout=120, on_line=on_line,
     )
     assert why is not None and "timeout" in why
     assert rc != 0
@@ -80,12 +87,14 @@ def test_watchdog_kills_grandchildren_too():
          " 'import time; time.sleep(600)'])\n"
          "print('gc', p.pid, flush=True)\n"
          "time.sleep(600)\n"],
-        timeout=120, stall_timeout=10, on_line=on_line,
+        timeout=600, stall_timeout=60, on_line=on_line,
     )
+    # stall_timeout=60 ≫ loaded-host startup: with 10 s this flaked once
+    # (the child was killed before Popen+print ran, so no `gc` line).
     assert why is not None and rc != 0
     gc_pid = next(int(l.split()[1]) for l, is_out in lines
                   if l.startswith("gc "))
-    deadline = time.time() + 10
+    deadline = time.time() + 30
     while time.time() < deadline:
         try:
             os.kill(gc_pid, 0)
