@@ -630,7 +630,8 @@ def _relay_probe_ok(budget_s: float, platform: str | None = None) -> bool:
     return why is None and rc == 0
 
 
-def _await_relay(max_wait_s: float, probe_budget_s: float = 120.0) -> bool:
+def _await_relay(max_wait_s: float, probe_budget_s: float = 120.0,
+                 max_probe_budget_s: float = 240.0) -> bool:
     """Hold measurement attempts until the relay answers a tiny probe.
 
     During a relay OUTAGE (observed 2026-08-17: every new backend init
@@ -639,22 +640,32 @@ def _await_relay(max_wait_s: float, probe_budget_s: float = 120.0) -> bool:
     run. Probing is ~40 s when healthy and keeps timestamped stderr
     flowing for the driver while waiting. Gives up (returns False) after
     `max_wait_s` and lets the attempts proceed — they are then the only
-    remaining source of luck."""
+    remaining source of luck.
+
+    The probe budget DOUBLES after a failed probe (capped at
+    `max_probe_budget_s`, the longest observed not-dropped relay hiccup):
+    a merely-SLOW relay (2026-08-19: tiny-matmul probes dead at 120 s
+    while a full model compile landed in ~210 s) must pass the gate on
+    the escalated probe rather than read as a full outage — the
+    measurement attempts' 240 s-per-dispatch compile windows can still
+    succeed against it."""
     start = time.time()
     n = 0
+    budget = probe_budget_s
     while True:
         n += 1
         t0 = time.time()
-        if _relay_probe_ok(probe_budget_s):
+        if _relay_probe_ok(budget):
             phase(f"relay gate: probe {n} ok in {time.time() - t0:.0f}s")
             return True
         waited = time.time() - start
-        if waited + probe_budget_s > max_wait_s:
+        budget = min(budget * 2, max_probe_budget_s)
+        if waited + budget > max_wait_s:
             phase(f"relay gate: relay still dead after {n} probes / "
                   f"{waited:.0f}s; proceeding on hope")
             return False
         phase(f"relay gate: probe {n} dead ({time.time() - t0:.0f}s); "
-              f"retrying in 15s")
+              f"retrying in 15s (next probe budget {budget:.0f}s)")
         time.sleep(15)
 
 
@@ -771,11 +782,6 @@ def main():
     if env_extra:
         os.environ.update(env_extra)
 
-    # Gate on relay liveness before the first heavy attempt — unless the
-    # run targets another platform (CPU smoke runs never touch the relay).
-    if args.relay_gate > 0 and not args.platform:
-        _await_relay(args.relay_gate)
-
     flags = [[], ["--skip-train"], ["--skip-train", "--skip-torch"]]
     if args.skip_train:
         flags = [f if "--skip-train" in f else f + ["--skip-train"]
@@ -786,6 +792,17 @@ def main():
     iters = [args.iters, args.iters, max(args.iters // 2, 8)]
 
     for attempt in range(3):
+        # Gate on relay liveness before EVERY attempt — unless the run
+        # targets another platform (CPU smoke runs never touch the relay).
+        # During an outage (observed 30+ min on 2026-08-17 and again on
+        # 2026-08-19) a dead-relay attempt burns its full stall-timeout
+        # learning nothing; a probe is ~40 s when healthy and keeps
+        # timestamped stderr flowing while waiting. Retries get half the
+        # gate budget so a persistent outage cannot more than double the
+        # patience spent before giving up.
+        if args.relay_gate > 0 and not args.platform:
+            _await_relay(args.relay_gate if attempt == 0
+                         else args.relay_gate / 2)
         cmd = base + flags[attempt] + ["--iters", str(iters[attempt])]
         phase(f"attempt {attempt + 1}: {' '.join(cmd[2:])}")
         contract, why, rc = _run_attempt(

@@ -363,6 +363,24 @@ def test_relay_gate_gives_up_after_budget(monkeypatch):
     assert B._await_relay(max_wait_s=0.5, probe_budget_s=1) is False
 
 
+def test_relay_gate_escalates_probe_budget_for_slow_relay(monkeypatch):
+    """A merely-SLOW relay (probe dead at 120 s, full compiles landing in
+    ~210 s — observed 2026-08-19) must pass the gate on an escalated probe
+    budget instead of reading as a full outage."""
+    B = _bench()
+
+    budgets = []
+
+    def fake_probe(budget_s):
+        budgets.append(budget_s)
+        return budget_s >= 240
+
+    monkeypatch.setattr(B, "_relay_probe_ok", fake_probe)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    assert B._await_relay(max_wait_s=3600, probe_budget_s=120) is True
+    assert budgets == [120, 240]
+
+
 def test_relay_probe_runs_real_subprocess():
     """The probe's subprocess mechanics end-to-end — forced onto the CPU
     backend (an inherited JAX_PLATFORMS=cpu does NOT override the
@@ -371,6 +389,28 @@ def test_relay_probe_runs_real_subprocess():
     B = _bench()
 
     assert B._relay_probe_ok(budget_s=180, platform="cpu") is True
+
+
+def test_main_regates_relay_before_every_attempt(monkeypatch, capsys):
+    """A dead-relay attempt burns its full stall-timeout; probes are cheap.
+    The supervisor must therefore re-check relay health before EACH retry
+    (full gate budget on attempt 1, half on retries), not just once up
+    front — during the 2026-08-19 outage the one-shot gate let attempts
+    2-3 run straight into a still-dead relay."""
+    B = _bench()
+
+    gate_waits = []
+    monkeypatch.setattr(B, "_await_relay",
+                        lambda max_wait_s, **kw: gate_waits.append(max_wait_s))
+    ok = ('{"metric": "m", "value": 2.0, "unit": "queries/s"}', None, 0)
+    results = [(None, "stalled", 1), (None, "stalled", 1), ok]
+    monkeypatch.setattr(B, "_run_attempt",
+                        lambda cmd, timeout, stall_timeout: results.pop(0))
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--relay-gate", "600"])
+    B.main()  # third attempt succeeds -> no SystemExit
+    assert gate_waits == [600, 300.0, 300.0]
+    out = capsys.readouterr().out
+    assert [l for l in out.splitlines() if l.startswith("{")] == [ok[0]]
 
 
 def test_all_configs_gates_once_and_disables_child_gates(monkeypatch,
