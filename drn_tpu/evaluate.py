@@ -279,6 +279,9 @@ def main(argv=None):
                    help="restore the latest step instead of the "
                         "best-on-val checkpoint (the default when "
                         "<checkpoint-dir>/best exists)")
+    p.add_argument("--allow-config-mismatch", action="store_true",
+                   help="downgrade the checkpoint-vs-active config parity "
+                        "check to a warning")
     args = p.parse_args(argv)
     if not args.checkpoint_dir and not args.torch_checkpoint:
         p.error("one of --checkpoint-dir / --torch-checkpoint is required")
@@ -313,6 +316,13 @@ def main(argv=None):
         # skipping init avoids a wasted full-model device compile.
         params = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
     else:
+        from drn_tpu.utils.checkpoint import check_experiment_config
+
+        # Parity guard: a checkpoint trained under different
+        # level_ranges / dims / grid decodes silently wrong.
+        check_experiment_config(
+            args.checkpoint_dir, cfg,
+            allow_mismatch=args.allow_config_mismatch, context="evaluate")
         template = init_params(cfg, model, jax.random.key(0))
         ckpt_dir = prefer_best_dir(args.checkpoint_dir,
                                    prefer=not args.latest_checkpoint)

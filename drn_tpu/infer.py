@@ -51,6 +51,9 @@ def main(argv=None):
                         "vocab matches the one the checkpoint was trained "
                         "with")
     p.add_argument("--top", type=int, default=5)
+    p.add_argument("--allow-config-mismatch", action="store_true",
+                   help="downgrade the checkpoint-vs-active config parity "
+                        "check to a warning")
     args = p.parse_args(argv)
     if not args.checkpoint_dir and not args.torch_checkpoint:
         p.error("one of --checkpoint-dir / --torch-checkpoint is required")
@@ -100,8 +103,12 @@ def main(argv=None):
         params = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
     else:
         from drn_tpu.utils.checkpoint import (CheckpointManager,
+                                              check_experiment_config,
                                               prefer_best_dir)
 
+        check_experiment_config(
+            args.checkpoint_dir, cfg,
+            allow_mismatch=args.allow_config_mismatch, context="infer")
         template = init_params(cfg, model, jax.random.key(0))
         ckpt = CheckpointManager(prefer_best_dir(args.checkpoint_dir))
         restored = ckpt.restore({"params": template}, partial=True)

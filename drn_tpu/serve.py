@@ -246,7 +246,8 @@ def build_service(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None,
                   batch_size: Optional[int] = None,
                   max_wait_ms: float = 5.0, top: int = 5,
                   params=None,
-                  features_root: Optional[str] = None) -> GroundingService:
+                  features_root: Optional[str] = None,
+                  allow_config_mismatch: bool = False) -> GroundingService:
     import jax
 
     from drn_tpu.data.pipeline import build_vocab
@@ -270,8 +271,12 @@ def build_service(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None,
             params = init_params(cfg, model, jax.random.key(0))
         if checkpoint_dir:
             from drn_tpu.utils.checkpoint import (CheckpointManager,
+                                                  check_experiment_config,
                                                   prefer_best_dir)
 
+            check_experiment_config(
+                checkpoint_dir, cfg,
+                allow_mismatch=allow_config_mismatch, context="serve")
             ckpt = CheckpointManager(prefer_best_dir(checkpoint_dir))
             restored = ckpt.restore({"params": params}, partial=True)
             if restored is None:
@@ -305,6 +310,9 @@ def main(argv=None):
     p.add_argument("--features-root", default=None,
                    help="directory that client 'features_path' values must "
                         "resolve inside; required for a non-loopback --host")
+    p.add_argument("--allow-config-mismatch", action="store_true",
+                   help="downgrade the checkpoint-vs-active config parity "
+                        "check to a warning")
     args = p.parse_args(argv)
     if not args.checkpoint_dir and not args.torch_checkpoint:
         p.error("one of --checkpoint-dir / --torch-checkpoint is required")
@@ -336,6 +344,7 @@ def main(argv=None):
         torch_checkpoint=args.torch_checkpoint,
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
         top=args.top, features_root=args.features_root,
+        allow_config_mismatch=args.allow_config_mismatch,
     )
     service.start()
     server = ThreadingHTTPServer((args.host, args.port),

@@ -37,8 +37,11 @@ from drn_tpu.parallel import (aot_compile_synced, batch_sharding,
                               feature_sharding, make_mesh,
                               mesh_process_count, param_shardings, replicate)
 from drn_tpu.utils.checkpoint import (BestCheckpointTracker,
-                                      CheckpointManager, load_loader_state,
-                                      prefer_best_dir, save_loader_state)
+                                      CheckpointManager,
+                                      check_experiment_config,
+                                      load_loader_state, prefer_best_dir,
+                                      save_experiment_config,
+                                      save_loader_state)
 from drn_tpu.utils.logging import MetricLogger
 from drn_tpu.utils.preemption import PreemptionGuard, exit_code_for
 
@@ -302,7 +305,8 @@ def selection_metric(results: Optional[Dict[str, float]]) -> Optional[float]:
 def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
           init_from: Optional[str] = None, max_steps: Optional[int] = None,
           eval_fn=None,
-          preemption_guard: Optional[PreemptionGuard] = None) -> TrainState:
+          preemption_guard: Optional[PreemptionGuard] = None,
+          allow_config_mismatch: bool = False) -> TrainState:
     """Full training run; returns final state (host-side orchestration only).
 
     SIGTERM (cluster preemption notice) stops the loop at the next step
@@ -330,12 +334,20 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
     )
     best: Optional[BestCheckpointTracker] = None  # created on first val
     if init_from:  # stage-2 init from stage-1 params (best-on-val if kept)
+        # Parity guard: loading stage-1 params trained under different
+        # level_ranges / dims / grid would decode silently wrong.
+        check_experiment_config(init_from, cfg,
+                                allow_mismatch=allow_config_mismatch,
+                                context="--init-from")
         src = CheckpointManager(prefer_best_dir(init_from))
         restored = src.restore({"params": state.params}, partial=True)
         if restored is not None:
             state = state.replace(params=restored["params"])
         src.close()
     if cfg.train.resume:
+        check_experiment_config(ckpt_dir, cfg,
+                                allow_mismatch=allow_config_mismatch,
+                                context="resume")
         restored = ckpt.restore(
             {"params": state.params, "opt_state": state.opt_state, "step": 0}
         )
@@ -345,6 +357,13 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
                 opt_state=restored["opt_state"],
                 step=int(restored["step"]),
             )
+    if jax.process_index() == 0:
+        # Config provenance: every checkpoint dir carries the full config
+        # that produced it, so restores (here, evaluate, infer, serve)
+        # can detect parity-relevant drift. Written AFTER the checks
+        # above — a legitimate (or overridden) run then records the
+        # config actually in effect.
+        save_experiment_config(ckpt_dir, cfg)
 
     if mesh is not None:
         state = shard_state(state, mesh)
@@ -510,6 +529,9 @@ def main(argv=None):
     p.add_argument("--init-from", default=None,
                    help="stage-1 checkpoint dir for stage-2 init")
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--allow-config-mismatch", action="store_true",
+                   help="downgrade the checkpoint-vs-active config parity "
+                        "check (resume / --init-from) to a warning")
     p.add_argument("--model-axis", type=int, default=None,
                    help="TP axis size; data axis gets the rest "
                         "(default: the config's MeshConfig.model_axis)")
@@ -575,7 +597,8 @@ def main(argv=None):
             if len(jax.devices()) > 1 else None)
     guard = PreemptionGuard().install()
     train(cfg, mesh=mesh, init_from=args.init_from, max_steps=args.max_steps,
-          preemption_guard=guard)
+          preemption_guard=guard,
+          allow_config_mismatch=args.allow_config_mismatch)
     guard.uninstall()
     if guard.triggered:
         # EX_TEMPFAIL: the checkpoint is saved; a restart loop should

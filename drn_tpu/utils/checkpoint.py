@@ -74,6 +74,129 @@ class CheckpointManager:
 
 BEST_SUBDIR = "best"
 _LOADER_SUBDIR = "loader_state"
+CONFIG_FILENAME = "experiment_config.json"
+
+# Fields whose mismatch between the config that TRAINED a checkpoint and
+# the config now RESTORING it silently changes model semantics: the params
+# would load fine (same tree) but decode against different level_ranges /
+# grids / dims — wrong results with no error. Everything under `model`
+# defines the architecture; the data fields below define the input grid
+# and id space the params were trained on. Training-only knobs (lr,
+# epochs, stage, batch size) are deliberately NOT parity-relevant.
+_PARITY_SECTIONS = ("model",)
+_PARITY_FIELDS = (
+    ("data", "dataset"),
+    ("data", "feature_type"),
+    ("data", "num_clips"),
+    ("data", "max_query_len"),
+)
+
+
+def _jsonable_config(cfg: Any) -> dict:
+    """dataclasses.asdict + a JSON round-trip so comparisons see what a
+    loaded file sees (tuples → lists)."""
+    import dataclasses
+    import json
+
+    return json.loads(json.dumps(dataclasses.asdict(cfg)))
+
+
+def save_experiment_config(directory: str, cfg: Any) -> None:
+    """Persist the full ExperimentConfig next to the Orbax steps
+    (SURVEY.md §6 Config row: "serialized into checkpoints"). Atomic
+    write: a crash mid-save must not leave a truncated JSON on the
+    resume path."""
+    import json
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, CONFIG_FILENAME)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"name": getattr(cfg, "name", ""),
+                   **_jsonable_config(cfg)}, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_experiment_config(directory: str) -> Optional[dict]:
+    """Read the persisted config for a checkpoint directory. A `best/`
+    subdirectory inherits its parent's file (BestCheckpointTracker stores
+    params only). Returns None for pre-provenance checkpoints."""
+    import json
+
+    candidates = [directory]
+    if os.path.basename(os.path.normpath(directory)) == BEST_SUBDIR:
+        candidates.append(os.path.dirname(os.path.normpath(directory)))
+    for d in candidates:
+        path = os.path.join(d, CONFIG_FILENAME)
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            continue
+        except (OSError, ValueError) as e:
+            import warnings
+
+            warnings.warn(f"unreadable {path!r} ({e}); ignoring it")
+    return None
+
+
+def config_parity_diffs(saved: dict, cfg: Any) -> list:
+    """Human-readable list of parity-relevant differences between a
+    persisted config dict and the active ExperimentConfig."""
+    active = _jsonable_config(cfg)
+    diffs = []
+    for section in _PARITY_SECTIONS:
+        s, a = saved.get(section, {}), active.get(section, {})
+        for k in sorted(set(s) | set(a)):
+            if s.get(k) != a.get(k):
+                diffs.append(
+                    f"{section}.{k}: checkpoint={s.get(k)!r} "
+                    f"active={a.get(k)!r}"
+                )
+    for section, key in _PARITY_FIELDS:
+        sv = saved.get(section, {}).get(key)
+        av = active.get(section, {}).get(key)
+        if sv != av:
+            diffs.append(
+                f"{section}.{key}: checkpoint={sv!r} active={av!r}")
+    # Vocab MODE (GloVe vs hashed) changes the id space the embedding
+    # table was trained against; the path itself may legitimately move.
+    sg = bool(saved.get("data", {}).get("glove_path"))
+    ag = bool(active.get("data", {}).get("glove_path"))
+    if sg != ag:
+        diffs.append(
+            f"data.glove_path mode: checkpoint={'glove' if sg else 'hashed'}"
+            f" active={'glove' if ag else 'hashed'}")
+    return diffs
+
+
+def check_experiment_config(directory: str, cfg: Any, *,
+                            allow_mismatch: bool = False,
+                            context: str = "restore") -> list:
+    """Fail loudly when a checkpoint is restored under a config whose
+    parity-relevant fields differ from the one that trained it (silently
+    wrong results otherwise — e.g. level_ranges changed between stage-1
+    and stage-2 runs). `allow_mismatch=True` downgrades to a warning.
+    Pre-provenance checkpoints (no persisted config) pass silently."""
+    saved = load_experiment_config(directory)
+    if saved is None:
+        return []
+    diffs = config_parity_diffs(saved, cfg)
+    if diffs:
+        msg = (
+            f"checkpoint in {directory!r} was trained under a different "
+            f"parity-relevant config than the active one ({context}):\n  "
+            + "\n  ".join(diffs)
+            + "\nRestoring across these changes silently alters model "
+              "semantics. Pass allow_config_mismatch / "
+              "--allow-config-mismatch to proceed anyway."
+        )
+        if not allow_mismatch:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg)
+    return diffs
 
 
 def save_loader_state(directory: str, step: int, blob: bytes,
@@ -135,27 +258,92 @@ class BestCheckpointTracker:
         self.directory = os.path.join(os.path.abspath(directory),
                                       BEST_SUBDIR)
         os.makedirs(self.directory, exist_ok=True)
-        self._mgr = ocp.CheckpointManager(
+        self._best: Optional[float] = None
+        # Opening + restoring the persisted metric sits on the RESUME
+        # path: a corrupt, truncated, or foreign-schema `best/` directory
+        # (e.g. killed mid-save, or written by an older version without
+        # `val_metric`) must degrade to "no best yet" — never crash the
+        # resume it exists to protect. The unreadable directory is
+        # QUARANTINED (renamed `best.corrupt-N`, data preserved) rather
+        # than reused: a garbage step dir also poisons Orbax's
+        # item-structure inference, making every later save() fail. The
+        # next real val eval re-anchors best (worst case: one overwrite
+        # by a marginally worse checkpoint, vs. an unresumable run).
+        try:
+            self._mgr = self._open()
+            step = self._mgr.latest_step()
+            if step is not None:
+                # Schema check BEFORE restoring: a partial restore of a
+                # missing key silently fills the template default (0.0 —
+                # a fake anchor), and the foreign layout still poisons
+                # Orbax's item-structure inference so every later save()
+                # raises. A reopened manager exposes no item_metadata
+                # (no handler registry yet), so read the step's on-disk
+                # _METADATA tree directly; any read failure lands in the
+                # quarantine path below.
+                if not self._has_val_metric(step):
+                    raise KeyError(
+                        "checkpoint has no 'val_metric' (foreign schema)"
+                    )
+                restored = self._mgr.restore(
+                    step,
+                    args=ocp.args.PyTreeRestore(
+                        {"val_metric": 0.0}, partial_restore=True
+                    ),
+                )
+                m = float(restored["val_metric"])
+                # A non-finite persisted metric (older runs could write
+                # one) must not become the comparison anchor — NaN makes
+                # every `<=` False and turns "best" into "last".
+                self._best = m if math.isfinite(m) else None
+        except Exception as e:  # noqa: BLE001 — any open/restore failure
+            import warnings
+
+            quarantined = self._quarantine()
+            warnings.warn(
+                f"best-checkpoint metric restore failed in "
+                f"{self.directory!r} ({type(e).__name__}: {e}); moved the "
+                f"unreadable directory to {quarantined!r} and starting "
+                f"with no prior best — the next val eval re-anchors it"
+            )
+            self._mgr = self._open()
+
+    def _has_val_metric(self, step: int) -> bool:
+        import json
+
+        path = os.path.join(self.directory, str(step), "default",
+                            "_METADATA")
+        with open(path) as f:
+            tm = json.load(f)["tree_metadata"]
+        return any(
+            e["key_metadata"][0]["key"] == "val_metric"
+            for e in tm.values()
+        )
+
+    def _open(self) -> ocp.CheckpointManager:
+        return ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=1,
                 enable_async_checkpointing=True,
             ),
         )
-        self._best: Optional[float] = None
-        step = self._mgr.latest_step()
-        if step is not None:
-            restored = self._mgr.restore(
-                step,
-                args=ocp.args.PyTreeRestore(
-                    {"val_metric": 0.0}, partial_restore=True
-                ),
-            )
-            m = float(restored["val_metric"])
-            # A non-finite persisted metric (older runs could write one)
-            # must not become the comparison anchor — NaN makes every
-            # `<=` False and turns "best" into "last".
-            self._best = m if math.isfinite(m) else None
+
+    def _quarantine(self) -> str:
+        """Move the unreadable best/ dir aside (never delete user data)."""
+        try:
+            getattr(self, "_mgr", None).close()
+        except Exception:  # noqa: BLE001 — mgr may not exist / be broken
+            pass
+        n = 0
+        while True:
+            target = f"{self.directory}.corrupt-{n}"
+            if not os.path.exists(target):
+                break
+            n += 1
+        os.rename(self.directory, target)
+        os.makedirs(self.directory, exist_ok=True)
+        return target
 
     @property
     def best_metric(self) -> Optional[float]:

@@ -56,7 +56,7 @@ def test_registry_covers_baseline_scenarios():
 
 
 def test_swept_eval_batches_pinned():
-    """Eval batch defaults are MEASURED optima (sweep_r3.log); changing
+    """Eval batch defaults are MEASURED optima (logs/sweep_r3.log); changing
     them requires re-measuring — see config.py trail comments."""
     assert get_config("charades_c3d_batched_eval").eval.batch_size == 48
     assert get_config("charades_i3d").eval.batch_size == 64
