@@ -77,6 +77,24 @@ class DataConfig:
     num_workers: int = 0             # >0 → Grain worker processes for IO
     shuffle_buffer: int = 2048
     seed: int = 0
+    # Synthetic-fixture knobs (dataset="synthetic" only). The recipe-
+    # demonstration config needs (a) a train set large enough that the
+    # model generalizes rather than memorizes (held-out val split) and
+    # (b) a task hard enough that CONVERGED stage-1 recall sits well
+    # below ceiling — the regime real grounding lives in (Charades R@1
+    # ~45-53) and the only regime where stage-2 IoU rescoring has
+    # headroom to demonstrate anything. At the easy defaults the model
+    # saturates val R@1,IoU=0.5≈99 by epoch 2 (logs/recipe_demo_r4.log
+    # trail) and the demo would measure noise.
+    synthetic_examples: int = 256
+    # Signal amplitude added inside the GT span (lower = harder
+    # boundaries; 2.0 reproduces the original easy fixture exactly).
+    synthetic_snr: float = 2.0
+    # Decoy spans carrying a DIFFERENT query's signal, placed outside
+    # the GT span: matching must be query-conditioned, not
+    # "any-signal" detection, and mis-ranked candidates appear — the
+    # exact failure mode IoU rescoring exists to fix.
+    synthetic_distractors: int = 0
 
 
 @dataclass(frozen=True)
@@ -178,10 +196,10 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         "charades_i3d",
         model=dict(feature_dim=1024),
         # Train batch stays the recipe default (32); throughput-optimal
-        # measured at 128 (16,186 ex/s @128 vs 15,114 @384, sweep_r3.log —
+        # measured at 128 (16,186 ex/s @128 vs 15,114 @384, logs/sweep_r3.log —
         # the light 1024-d stem saturates earlier than c3d's 384).
         data=dict(dataset="charades", feature_type="i3d", num_clips=64),
-        # v5e eval-batch sweep (iters=96; sweep_r3.log): 69.7k q/s @32,
+        # v5e eval-batch sweep (iters=96; logs/sweep_r3.log): 69.7k q/s @32,
         # 73.8k @48, 74.2/76.5/77.4k @64, 77.1/72.6k @96 (tied with 64
         # within relay noise), 69.2k @128. The 1024-d stem is ~4x lighter
         # than c3d's 4096, so the optimum sits above the flagship's B=48.
@@ -210,7 +228,7 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
             level_ranges=((0.0, 0.12), (0.12, 0.25), (0.25, 0.5), (0.5, 2.0)),
         ),
         # Train batch stays the recipe default (32); throughput-optimal
-        # measured at 128 (4,069 ex/s @32 → 4,348 @128, sweep_r3.log).
+        # measured at 128 (4,069 ex/s @32 → 4,348 @128, logs/sweep_r3.log).
         data=dict(dataset="activitynet", feature_type="i3d", num_clips=256,
                   max_query_len=25),
         # v5e eval-batch sweep (iters=96, 2026-08-17): 15.5k q/s @8,
@@ -227,7 +245,7 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         ),
         # Train batch stays the recipe default (32): raising it changes
         # convergence, not just speed. Throughput-optimal train batch
-        # measured at 128 (iters=96, sweep_r3.log: 4,259 ex/s @32,
+        # measured at 128 (iters=96, logs/sweep_r3.log: 4,259 ex/s @32,
         # 4,441 @128 peak 51.9% MFU, 4,141 @256) — users scaling the LR
         # accordingly can pass --batch-size 128.
         data=dict(dataset="activitynet", feature_type="c3d", num_clips=256,
@@ -246,7 +264,7 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
             level_ranges=((0.0, 0.08), (0.08, 0.18), (0.18, 0.4), (0.4, 2.0)),
         ),
         # Train batch stays the recipe default (32). Throughput-optimal
-        # train batch measured at 64 (iters=96, sweep_r3.log: 1,748 ex/s
+        # train batch measured at 64 (iters=96, logs/sweep_r3.log: 1,748 ex/s
         # @32, 1,813 @64 peak 59.2% MFU — the 512-clip grid fills the MXU
         # without huge batches, 1,759 @128); pass --batch-size 64 with a
         # rescaled LR to trade recipe fidelity for speed.
@@ -258,6 +276,27 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         # selection tensor, the optimum moved UP: 5.4k @8, 5.2k @16,
         # 5.72/5.71k @32 (two runs), 5.1k @64.
         eval=dict(batch_size=32),
+    ),
+    # 6) Two-stage recipe demonstration (scripts/recipe_demo.py; VERDICT r3
+    # item 1): a non-trivial width with a HELD-OUT synthetic val split, so
+    # stage-2 IoU rescoring is measured on generalization, not memorization.
+    # Train set 4096 examples keeps stage-1 val R@1 off the ceiling (the
+    # regime where rescoring can help); 3 levels exercises cross-level
+    # flattening in the rescore. Runs on CPU in minutes.
+    "synthetic_recipe": _cfg(
+        "synthetic_recipe",
+        model=dict(feature_dim=256, hidden_dim=128, vocab_size=512,
+                   num_lstm_layers=2),
+        data=dict(dataset="synthetic", num_clips=64, max_query_len=12,
+                  batch_size=32, synthetic_examples=4096,
+                  synthetic_snr=0.5, synthetic_distractors=2),
+        # Stage-1 val recall plateaus by epoch ~2 in this regime
+        # (logs/recipe_demo_r4.log trail: 34.7 after epoch 1, 32.9 after
+        # epoch 2 — best-on-val keeps epoch 1); 3 epochs covers it for
+        # both stages.
+        train=dict(num_epochs=3, log_every_steps=32,
+                   checkpoint_every_steps=10_000),
+        eval=dict(top_k=32, batch_size=64),
     ),
     # 5) End-to-end training on a TPU mesh (synthetic fixture runs everywhere).
     "synthetic_tiny": _cfg(

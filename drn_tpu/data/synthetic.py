@@ -18,11 +18,13 @@ from drn_tpu.data.vocab import PAD_ID
 
 class SyntheticDataset:
     def __init__(self, cfg: DataConfig, mcfg: ModelConfig, split: str = "train",
-                 num_examples: int = 256, vocab_size: int | None = None):
+                 num_examples: int | None = None, vocab_size: int | None = None):
         self.cfg = cfg
         self.mcfg = mcfg
         seed = cfg.seed + (0 if split == "train" else 10_000)
         self.rng = np.random.default_rng(seed)
+        if num_examples is None:
+            num_examples = getattr(cfg, "synthetic_examples", 256)
         self.num_examples = num_examples
         # The id range must match the model's EFFECTIVE table size: in
         # GloVe mode build_model resizes the table to the vocab row count
@@ -57,7 +59,20 @@ class SyntheticDataset:
         feats = self.rng.normal(size=(t, f)).astype(np.float32)
         signal = self.token_signal[ids[:n_words]].mean(axis=0)
         inside = (np.arange(t) + 0.5 >= start) & (np.arange(t) + 0.5 < end)
-        feats[inside] += 2.0 * signal
+        amp = getattr(cfg, "synthetic_snr", 2.0)
+        feats[inside] += amp * signal
+        # Decoy spans: a DIFFERENT query's signal outside the GT span, so
+        # matching must be query-conditioned and mis-ranked candidates
+        # exist for the stage-2 IoU head to down-weight (config.py trail).
+        for _ in range(getattr(cfg, "synthetic_distractors", 0)):
+            d_n = int(self.rng.integers(2, l + 1))
+            d_ids = self.rng.integers(2, self.vocab_size, d_n)
+            d_signal = self.token_signal[d_ids].mean(axis=0)
+            d_len = self.rng.uniform(0.1, 0.6) * t
+            d_start = self.rng.uniform(0, t - d_len)
+            d_inside = ((np.arange(t) + 0.5 >= d_start)
+                        & (np.arange(t) + 0.5 < d_start + d_len) & ~inside)
+            feats[d_inside] += amp * d_signal
 
         duration = np.float32(60.0)
         return {
