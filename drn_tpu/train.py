@@ -340,21 +340,33 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
                                 allow_mismatch=allow_config_mismatch,
                                 context="--init-from")
         src = CheckpointManager(prefer_best_dir(init_from))
-        restored = src.restore({"params": state.params}, partial=True)
+        # Host (numpy) template → Orbax restores to host memory on every
+        # process; a device-array template can come back pinned to the
+        # SAVING process's device (non-addressable here), which
+        # shard_state's device_put can't move across hosts.
+        restored = src.restore({"params": jax.device_get(state.params)},
+                               partial=True)
         if restored is not None:
-            state = state.replace(params=restored["params"])
+            # Host arrays, not device arrays: a multi-process restore can
+            # hand back arrays pinned to the SAVING process's device
+            # (non-addressable here), and shard_state's device_put would
+            # then demand an unsupported cross-host transfer.
+            state = state.replace(params=jax.device_get(restored["params"]))
         src.close()
     if cfg.train.resume:
         check_experiment_config(ckpt_dir, cfg,
                                 allow_mismatch=allow_config_mismatch,
                                 context="resume")
         restored = ckpt.restore(
-            {"params": state.params, "opt_state": state.opt_state, "step": 0}
+            {"params": jax.device_get(state.params),
+             "opt_state": jax.device_get(state.opt_state), "step": 0}
         )
         if restored is not None:
+            # device_get for the same reason as the --init-from branch:
+            # restored arrays may be pinned to another process's device.
             state = state.replace(
-                params=restored["params"],
-                opt_state=restored["opt_state"],
+                params=jax.device_get(restored["params"]),
+                opt_state=jax.device_get(restored["opt_state"]),
                 step=int(restored["step"]),
             )
     if jax.process_index() == 0:
