@@ -241,6 +241,20 @@ def make_handler(service: GroundingService):
     return Handler
 
 
+class GroundingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a listen backlog sized for bursty load.
+
+    The stdlib default (`request_queue_size = 5`) drops SYNs with
+    connection-reset once more than ~5 clients connect in the same
+    gather window — measured at 64 concurrent clients in
+    `scripts/serve_load_probe.py` (25–50 resets per 8 s window).
+    128 removes the resets without bounding in-flight work (the batcher
+    queue, not the accept queue, is the intended backpressure point).
+    """
+
+    request_queue_size = 128
+
+
 def build_service(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None,
                   torch_checkpoint: Optional[str] = None,
                   batch_size: Optional[int] = None,
@@ -347,7 +361,7 @@ def main(argv=None):
         allow_config_mismatch=args.allow_config_mismatch,
     )
     service.start()
-    server = ThreadingHTTPServer((args.host, args.port),
+    server = GroundingHTTPServer((args.host, args.port),
                                  make_handler(service))
     print(f"serving {cfg.name} on http://{args.host}:{args.port} "
           f"(batch={service.batch_size})", flush=True)

@@ -10,13 +10,12 @@ import threading
 import urllib.error
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
-from http.server import ThreadingHTTPServer
 
 import numpy as np
 import pytest
 
 from drn_tpu.config import get_config
-from drn_tpu.serve import build_service, make_handler
+from drn_tpu.serve import GroundingHTTPServer, build_service, make_handler
 
 
 @pytest.fixture(scope="module")
@@ -24,10 +23,10 @@ def server():
     cfg = get_config("synthetic_tiny")
     service = build_service(cfg, batch_size=4, max_wait_ms=10.0, top=3)
     service.start()
-    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    httpd = GroundingHTTPServer(("127.0.0.1", 0), make_handler(service))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{httpd.server_address[1]}", cfg
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", cfg, service
     httpd.shutdown()
     service.stop()
 
@@ -52,7 +51,7 @@ def _payload(cfg, seed=0, t_raw=40):
 
 
 def test_healthz(server):
-    url, cfg = server
+    url, cfg = server[:2]
     with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
         got = json.loads(r.read())
     assert got["status"] == "ok"
@@ -60,7 +59,7 @@ def test_healthz(server):
 
 
 def test_single_request(server):
-    url, cfg = server
+    url, cfg = server[:2]
     out = _post(url, _payload(cfg))
     assert out["segments"] and len(out["segments"]) <= 3
     assert len(out["scores"]) == len(out["segments"])
@@ -72,7 +71,7 @@ def test_single_request(server):
 
 
 def test_concurrent_requests_batch(server):
-    url, cfg = server
+    url, cfg = server[:2]
     with ThreadPoolExecutor(4) as ex:
         outs = list(ex.map(
             lambda i: _post(url, _payload(cfg, seed=i)), range(4)
@@ -82,8 +81,36 @@ def test_concurrent_requests_batch(server):
     assert len({json.dumps(o) for o in outs}) > 1
 
 
+def test_single_request_latency_is_one_step(server):
+    """serve.py's claim: "single requests pay ~one step of latency".
+    Quantified: a lone request's end-to-end time is bounded by the
+    measured bare-step time + the gather window (max_wait_ms=10 in this
+    fixture) + host overhead. Generous multipliers so shared-CI CPU
+    noise can't flake it — the failure mode it guards (a request waiting
+    for a FULL batch to form, i.e. multiple batch timeouts or a lost
+    wakeup) is orders of magnitude above the bound."""
+    import time
+
+    url, cfg, service = server
+
+    # warm the HTTP + step path, then measure the bare compiled step
+    _post(url, _payload(cfg, seed=100))
+    t0 = time.perf_counter()
+    service._run([])
+    step_s = time.perf_counter() - t0
+
+    lat = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        _post(url, _payload(cfg, seed=200 + i))
+        lat.append(time.perf_counter() - t0)
+    best = min(lat)  # min: immune to scheduler hiccups on shared CI
+    bound = 3.0 * step_s + (service.max_wait_s + 0.1) + 0.5
+    assert best < bound, (best, step_s, service.max_wait_s)
+
+
 def test_bad_feature_shape_is_400(server):
-    url, cfg = server
+    url, cfg = server[:2]
     bad = {"query": "hi", "features": [[1.0, 2.0]], "duration": 5.0}
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(url, bad)
@@ -91,7 +118,7 @@ def test_bad_feature_shape_is_400(server):
 
 
 def test_features_path_input(server, tmp_path):
-    url, cfg = server
+    url, cfg = server[:2]
     rng = np.random.default_rng(7)
     path = tmp_path / "vid.npy"
     np.save(path, rng.normal(size=(50, cfg.model.feature_dim))
@@ -106,7 +133,7 @@ def test_features_path_input(server, tmp_path):
 def test_features_root_restricts_paths(server, tmp_path):
     """With features_root set, paths outside it are rejected (400), paths
     inside it load (ADVICE r2: features_path as arbitrary-file-read)."""
-    url, cfg = server
+    url, cfg = server[:2]
     service_cls_root = tmp_path / "allowed"
     service_cls_root.mkdir()
     inside = service_cls_root / "vid.npy"
