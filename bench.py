@@ -531,6 +531,17 @@ def inner_main(args):
             data=dataclasses.replace(cfg.data, batch_size=args.batch_size),
             eval=dataclasses.replace(cfg.eval, batch_size=args.batch_size),
         )
+    for ov in args.model_override or ():
+        # A/B instrument for ModelConfig booleans/numbers, e.g.
+        # --model-override iou_fold_mix_min_locations=0
+        import dataclasses
+
+        key, _, val = ov.partition("=")
+        cur = getattr(cfg.model, key)  # raises on typos
+        coerced = (val.lower() in ("1", "true", "on")
+                   if isinstance(cur, bool) else type(cur)(val))
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, **{key: coerced}))
 
     # Torch baseline FIRST: it needs no TPU and is cheap, so the contract
     # line right after the eval measurement can include vs_baseline.
@@ -699,6 +710,11 @@ def main():
                         "(default 96; 2048 in --latency mode — a B=1 step "
                         "is ~140 us, so shorter chains are jitter-limited: "
                         "k=257 once 'measured' 21.7 us)")
+    p.add_argument("--model-override", action="append", default=None,
+                   metavar="FIELD=VALUE",
+                   help="override a ModelConfig field for A/B runs, e.g. "
+                        "--model-override iou_fold_mix_min_locations=0 "
+                        "(repeatable)")
     p.add_argument("--batch-size", type=int, default=None,
                    help="override eval+train batch size (B-sweep)")
     p.add_argument("--baseline-queries", type=int, default=32,
@@ -767,6 +783,8 @@ def main():
             "--baseline-queries", str(args.baseline_queries)]
     if args.batch_size:
         base += ["--batch-size", str(args.batch_size)]
+    for ov in args.model_override or ():
+        base += ["--model-override", ov]
     if args.profile:
         base += ["--profile", args.profile]
     if args.serial_compile:

@@ -46,6 +46,24 @@ class ModelConfig:
     use_pallas_fusion: bool = False
     use_pallas_conv_blocks: bool = False
     use_pallas_stem: bool = False
+    # Fold the IoU head's first k=1 mix conv through the (linear) sampling
+    # matmuls when the total location count reaches this threshold,
+    # eliminating the (B, N, 3D) sampled intermediate:
+    # mix0(concat_k(Sel_k @ F)) == Σ_k Sel_k @ (F @ W_k). Identical FLOPs
+    # (132.9 GFLOP traced both ways at TACoS shapes), less data movement;
+    # equivalent up to bf16 accumulation order (in-module 1.862 →
+    # 1.126 ms, scripts/iou_mix_probe.py). The win is SHAPE-DEPENDENT —
+    # the fold trades one (B,3T,T) selection per level for three (B,T,T)
+    # ones, so small grids pay more small-matmul dispatches than they
+    # save in HBM. Measured end-to-end on v5e (iters=96, design.md §4.2):
+    # TACoS (N=960, B=32) 5,698/5,708 → 6,216/6,261 q/s (+9.4%, two runs
+    # each, logs/fold_ab_tacos_r4.log); ActivityNet (N=480, B=16) LOSES
+    # (i3d 17.7k → 16.8/17.4k, c3d 17.4k → 14.9k,
+    # logs/fold_ab_anet_r4.log). Threshold 512 splits the measured
+    # points; 0 force-enables wherever the blocked dispatch is active
+    # (≥256 locations — the fold never applies below that), a huge value
+    # disables. A/B: `--model-override iou_fold_mix_min_locations=0`.
+    iou_fold_mix_min_locations: int = 512
 
     def __post_init__(self):
         assert len(self.level_ranges) == self.num_levels
@@ -234,6 +252,9 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
         # v5e eval-batch sweep (iters=96, 2026-08-17): 15.5k q/s @8,
         # 16.9/15.9k @16 (peak, 73-77% MFU), 15.4k @32. Deep-pyramid
         # configs peak far below the charades flagship's B=48.
+        # Re-swept r4 AFTER blocked IoU sampling (which moved TACoS's
+        # optimum 8→32): 16.5k @16 (68.1% MFU) vs 16.2k @32 (66.6%) —
+        # B=16 stays the optimum here.
         eval=dict(batch_size=16),
     ),
     "activitynet_c3d": _cfg(

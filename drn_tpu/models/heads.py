@@ -210,13 +210,56 @@ class IoUHead(nn.Module):
         # matmuls instead of three (see linear_time_sample).
         pos = jnp.concatenate(
             [to_idx(start), to_idx(mid), to_idx(end)], axis=1)  # (B, 3N)
-        sample = (blocked_segment_samples
-                  if sum(sizes) >= _BLOCKED_SAMPLING_MIN_LOCATIONS
-                  else flat_segment_samples)  # measured switch, see above
-        sampled = sample(pyramid, pos, sizes)                   # (B, N, 3D)
-
-        x = sampled.astype(cdt(cfg))
-        for i in range(cfg.iou_head_layers):
+        blocked = sum(sizes) >= _BLOCKED_SAMPLING_MIN_LOCATIONS
+        fold = (blocked and sum(sizes) >= cfg.iou_fold_mix_min_locations
+                and not self.is_initializing())
+        if fold:
+            # Fold mix_0 through the (linear) sampling:
+            #   mix0(concat_k(Sel_k @ F)) == Σ_k Sel_k @ (F @ W0_k) + b0
+            # so the (B, N, 3D) sampled intermediate never exists — the
+            # three projected per-level features are sampled directly and
+            # summed. Equivalent up to bf16 accumulation order (in-module
+            # A/B 1.862 → 1.126 ms at TACoS shapes,
+            # scripts/iou_mix_probe.py). Shape-gated: wins at long grids
+            # (TACoS +9.4%), loses at ActivityNet's — measured threshold
+            # trail in design.md §4.2 and config.py.
+            # Init always takes the unfolded branch below, which creates
+            # mix_0's params with these names (same pattern as
+            # ConvBlock's Pallas path, layers.py).
+            p0 = self.variables["params"]["mix_0"]
+            w0 = p0["Conv_0"]["kernel"][0].astype(cdt(cfg))    # (3D, D)
+            d = cfg.hidden_dim
+            starts = np.cumsum([0] + sizes[:-1])
+            n = sum(sizes)
+            parts = []
+            for lvl, (p_l, t_l) in enumerate(zip(pyramid, sizes)):
+                off = int(starts[lvl])
+                acc = None
+                x_l = p_l.astype(cdt(cfg))
+                for k in range(3):
+                    y = x_l @ w0[k * d:(k + 1) * d]            # (B, T_ℓ, D)
+                    pos_lk = pos[:, k * n + off: k * n + off + t_l] \
+                        - float(off)  # exact (Sterbenz; see blocked_*)
+                    s = linear_time_sample(y, pos_lk)
+                    acc = s if acc is None else acc + s
+                parts.append(acc)
+            x = jnp.concatenate(parts, axis=1) \
+                + p0["Conv_0"]["bias"]                          # (B, N, D)
+            # mix_0's LayerNorm+ReLU, applied functionally to its params
+            # (exactly ConvBlock's fp32 norm path, layers.py)
+            x = nn.relu(
+                nn.LayerNorm(dtype=jnp.float32).apply(
+                    {"params": p0["LayerNorm_0"]}, x.astype(jnp.float32)
+                ).astype(cdt(cfg))
+            )
+            first = 1
+        else:
+            sample = (blocked_segment_samples if blocked
+                      else flat_segment_samples)  # measured switch, above
+            sampled = sample(pyramid, pos, sizes)               # (B, N, 3D)
+            x = sampled.astype(cdt(cfg))
+            first = 0
+        for i in range(first, cfg.iou_head_layers):
             x = ConvBlock(cfg, cfg.hidden_dim, kernel_size=1,
                           name=f"mix_{i}")(x)
         out = nn.Conv(1, kernel_size=(1,), dtype=cdt(cfg), name="out")(x)

@@ -101,3 +101,79 @@ def test_out_of_range_positions_clip():
     got = np.asarray(linear_time_sample(jnp.asarray(feat), jnp.asarray(pos)))
     np.testing.assert_array_equal(got[0, 0], feat[0, 0])
     np.testing.assert_array_equal(got[0, 1], feat[0, -1])
+
+
+def test_iou_fold_mix_equivalent_and_gated():
+    """The mix-fold (`iou_fold_mix_min_locations`) folds mix_0 through
+    the (linear) sampling on the blocked-dispatch path:
+    mix0(concat_k(Sel_k @ F)) == Σ_k Sel_k @ (F @ W0_k). Equivalent up
+    to bf16 accumulation order (values AND the param tree — the fold
+    reads mix_0's params, it never creates new ones), and inert below
+    _BLOCKED_SAMPLING_MIN_LOCATIONS even at threshold 0, so the tiny
+    configs' bit-level parity pins are untouched. Perf trail:
+    scripts/iou_mix_probe.py + design.md §4.2."""
+    import dataclasses
+
+    import jax
+
+    from drn_tpu.config import ModelConfig
+    from drn_tpu.models.drn import location_metadata
+    from drn_tpu.models.heads import (_BLOCKED_SAMPLING_MIN_LOCATIONS,
+                                      IoUHead)
+
+    rng = np.random.default_rng(7)
+    base, b = 256, 2  # N = 256+128+64+32 = 480 ≥ blocked threshold
+    m = ModelConfig(
+        feature_dim=64, hidden_dim=32, num_levels=4,
+        level_ranges=((0.0, 0.12), (0.12, 0.25), (0.25, 0.5), (0.5, 2.0)),
+        iou_fold_mix_min_locations=10 ** 9,  # `m` = unfolded reference
+    )
+    sizes = [base // 2 ** l for l in range(m.num_levels)]
+    assert sum(sizes) >= _BLOCKED_SAMPLING_MIN_LOCATIONS
+    pyramid = [
+        jnp.asarray(rng.normal(size=(b, t, m.hidden_dim)), jnp.bfloat16)
+        for t in sizes
+    ]
+    n = sum(sizes)
+    _, strides, level_ids = location_metadata(m, base)
+    segments = jnp.asarray(
+        np.sort(rng.uniform(0, base, size=(b, n, 2)), axis=-1), jnp.float32)
+
+    params = IoUHead(m).init(
+        jax.random.key(0), pyramid, segments, level_ids, strides)["params"]
+    # threshold 0 = fold wherever the blocked dispatch is active
+    m_fold = dataclasses.replace(m, iou_fold_mix_min_locations=0)
+    # init under the fold flag creates the IDENTICAL param tree (init
+    # always takes the unfolded branch)
+    params_fold = IoUHead(m_fold).init(
+        jax.random.key(0), pyramid, segments, level_ids, strides)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_fold)
+
+    ya = np.asarray(IoUHead(m).apply(
+        {"params": params}, pyramid, segments, level_ids, strides))
+    yb = np.asarray(IoUHead(m_fold).apply(
+        {"params": params}, pyramid, segments, level_ids, strides))
+    rel = np.abs(ya - yb).max() / max(1e-6, np.abs(ya).max())
+    assert rel < 2e-2, rel  # bf16 accumulation-order tolerance
+
+    # below the blocked threshold the fold is inert even at threshold 0:
+    # bit-identical
+    base_s = 64  # N = 64+32+16+8 = 120 < 256
+    sizes_s = [base_s // 2 ** l for l in range(m.num_levels)]
+    pyr_s = [
+        jnp.asarray(rng.normal(size=(b, t, m.hidden_dim)), jnp.bfloat16)
+        for t in sizes_s
+    ]
+    n_s = sum(sizes_s)
+    _, strides_s, level_ids_s = location_metadata(m, base_s)
+    seg_s = jnp.asarray(
+        np.sort(rng.uniform(0, base_s, size=(b, n_s, 2)), axis=-1),
+        jnp.float32)
+    pr = IoUHead(m).init(
+        jax.random.key(1), pyr_s, seg_s, level_ids_s, strides_s)["params"]
+    za = np.asarray(IoUHead(m).apply(
+        {"params": pr}, pyr_s, seg_s, level_ids_s, strides_s))
+    zb = np.asarray(IoUHead(m_fold).apply(
+        {"params": pr}, pyr_s, seg_s, level_ids_s, strides_s))
+    np.testing.assert_array_equal(za, zb)
