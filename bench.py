@@ -453,6 +453,31 @@ def measure_train_qps(cfg, iters: int, warmup: int = 2, serial_compile=False):
     return b / per_step, mfu
 
 
+def apply_model_override(cfg, ov: str):
+    """A/B instrument for ModelConfig booleans/numbers, e.g.
+    `--model-override iou_fold_mix_min_locations=0`. Boolean values
+    accept only explicit spellings — an unrecognized one is an error,
+    never a silent False: a silent False turns an intended A/B into
+    baseline-vs-baseline and records a fake "no difference"."""
+    import dataclasses
+
+    key, _, val = ov.partition("=")
+    cur = getattr(cfg.model, key)  # raises on typos
+    if isinstance(cur, bool):
+        truthy = {"1", "true", "on", "yes"}
+        falsy = {"0", "false", "off", "no"}
+        v = val.strip().lower()
+        if v not in truthy | falsy:
+            raise SystemExit(
+                f"--model-override {key}: boolean value {val!r} not "
+                f"recognized (use one of {sorted(truthy | falsy)})")
+        coerced = v in truthy
+    else:
+        coerced = type(cur)(val)
+    return cfg.replace(
+        model=dataclasses.replace(cfg.model, **{key: coerced}))
+
+
 def _contract_line(args, qps, mfu, vs_baseline, train_qps, train_mfu):
     metric_name = ("charades_sta_grounding_queries_per_sec_per_chip"
                    if args.config == "charades_c3d_batched_eval"
@@ -532,16 +557,7 @@ def inner_main(args):
             eval=dataclasses.replace(cfg.eval, batch_size=args.batch_size),
         )
     for ov in args.model_override or ():
-        # A/B instrument for ModelConfig booleans/numbers, e.g.
-        # --model-override iou_fold_mix_min_locations=0
-        import dataclasses
-
-        key, _, val = ov.partition("=")
-        cur = getattr(cfg.model, key)  # raises on typos
-        coerced = (val.lower() in ("1", "true", "on")
-                   if isinstance(cur, bool) else type(cur)(val))
-        cfg = cfg.replace(
-            model=dataclasses.replace(cfg.model, **{key: coerced}))
+        cfg = apply_model_override(cfg, ov)
 
     # Torch baseline FIRST: it needs no TPU and is cheap, so the contract
     # line right after the eval measurement can include vs_baseline.

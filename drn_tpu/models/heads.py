@@ -197,8 +197,9 @@ class IoUHead(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.cfg
         sizes = [p.shape[1] for p in pyramid]
-        starts_np = np.cumsum([0] + sizes[:-1]).astype(np.float32)
-        lo = jnp.asarray(starts_np)[level_ids]                   # (N,)
+        n = sum(sizes)
+        starts_i = np.cumsum([0] + sizes[:-1])  # level offsets, shared below
+        lo = jnp.asarray(starts_i.astype(np.float32))[level_ids]  # (N,)
         hi = lo + jnp.asarray(np.asarray(sizes, np.float32))[level_ids] - 1.0
 
         start, end = segments[..., 0], segments[..., 1]
@@ -210,8 +211,8 @@ class IoUHead(nn.Module):
         # matmuls instead of three (see linear_time_sample).
         pos = jnp.concatenate(
             [to_idx(start), to_idx(mid), to_idx(end)], axis=1)  # (B, 3N)
-        blocked = sum(sizes) >= _BLOCKED_SAMPLING_MIN_LOCATIONS
-        fold = (blocked and sum(sizes) >= cfg.iou_fold_mix_min_locations
+        blocked = n >= _BLOCKED_SAMPLING_MIN_LOCATIONS
+        fold = (blocked and n >= cfg.iou_fold_mix_min_locations
                 and not self.is_initializing())
         if fold:
             # Fold mix_0 through the (linear) sampling:
@@ -229,11 +230,9 @@ class IoUHead(nn.Module):
             p0 = self.variables["params"]["mix_0"]
             w0 = p0["Conv_0"]["kernel"][0].astype(cdt(cfg))    # (3D, D)
             d = cfg.hidden_dim
-            starts = np.cumsum([0] + sizes[:-1])
-            n = sum(sizes)
             parts = []
             for lvl, (p_l, t_l) in enumerate(zip(pyramid, sizes)):
-                off = int(starts[lvl])
+                off = int(starts_i[lvl])
                 acc = None
                 x_l = p_l.astype(cdt(cfg))
                 for k in range(3):

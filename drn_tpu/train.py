@@ -306,13 +306,17 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
           init_from: Optional[str] = None, max_steps: Optional[int] = None,
           eval_fn=None,
           preemption_guard: Optional[PreemptionGuard] = None,
-          allow_config_mismatch: bool = False) -> TrainState:
+          allow_config_mismatch: bool = False,
+          run_info: Optional[dict] = None) -> TrainState:
     """Full training run; returns final state (host-side orchestration only).
 
     SIGTERM (cluster preemption notice) stops the loop at the next step
     boundary, force-saves state + data-iterator position, and returns —
     a `--resume` run then continues from the exact step. Pass your own
-    installed `preemption_guard` to observe `guard.triggered` after."""
+    installed `preemption_guard` to observe `guard.triggered` after.
+    `run_info` (a caller-owned dict) receives `start_step` — the step the
+    run actually began from after any checkpoint restore, so callers and
+    tests can distinguish a real resume from a silent fresh start."""
     log = MetricLogger(f"train/{cfg.name}/stage{cfg.train.stage}",
                        tensorboard_dir=cfg.train.tensorboard_dir)
     vocab = build_vocab(cfg.data, cfg.model)
@@ -397,6 +401,8 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
         guard = PreemptionGuard().install()
 
     start_step = int(state.step)  # >0 when resumed from a checkpoint
+    if run_info is not None:
+        run_info["start_step"] = start_step
     step = 0
     done = False
     multiproc = mesh is not None and mesh_process_count(mesh) > 1

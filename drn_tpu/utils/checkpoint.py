@@ -80,10 +80,22 @@ CONFIG_FILENAME = "experiment_config.json"
 # the config now RESTORING it silently changes model semantics: the params
 # would load fine (same tree) but decode against different level_ranges /
 # grids / dims — wrong results with no error. Everything under `model`
-# defines the architecture; the data fields below define the input grid
-# and id space the params were trained on. Training-only knobs (lr,
-# epochs, stage, batch size) are deliberately NOT parity-relevant.
+# defines the architecture EXCEPT the scheduling-only knobs below; the
+# data fields further down define the input grid and id space the params
+# were trained on. Training-only knobs (lr, epochs, stage, batch size)
+# are deliberately NOT parity-relevant.
 _PARITY_SECTIONS = ("model",)
+# Scheduling/performance knobs that pick between numerics-equivalent
+# compute paths (same params, same outputs up to bf16 accumulation order
+# — design.md §3/§4.2). Re-tuning or A/B-ing them must not lock users out
+# of existing checkpoints, and excluding them keeps the hard failure
+# reserved for REAL semantic drift.
+_PARITY_EXCLUDE = {
+    ("model", "use_pallas_fusion"),
+    ("model", "use_pallas_conv_blocks"),
+    ("model", "use_pallas_stem"),
+    ("model", "iou_fold_mix_min_locations"),
+}
 _PARITY_FIELDS = (
     ("data", "dataset"),
     ("data", "feature_type"),
@@ -148,6 +160,8 @@ def config_parity_diffs(saved: dict, cfg: Any) -> list:
     for section in _PARITY_SECTIONS:
         s, a = saved.get(section, {}), active.get(section, {})
         for k in sorted(set(s) | set(a)):
+            if (section, k) in _PARITY_EXCLUDE:
+                continue
             if s.get(k) != a.get(k):
                 diffs.append(
                     f"{section}.{k}: checkpoint={s.get(k)!r} "
@@ -279,11 +293,26 @@ class BestCheckpointTracker:
                 # Orbax's item-structure inference so every later save()
                 # raises. A reopened manager exposes no item_metadata
                 # (no handler registry yet), so read the step's on-disk
-                # _METADATA tree directly; any read failure lands in the
-                # quarantine path below.
-                if not self._has_val_metric(step):
+                # _METADATA tree directly. The probe is three-valued:
+                # metadata readable + key present → restore; readable +
+                # key ABSENT → foreign schema, quarantine; the probe
+                # itself unreadable (an Orbax version bump moving or
+                # reshaping the metadata file) → the directory may be
+                # perfectly valid, so attempt the restore rather than
+                # quarantining a good best checkpoint (a real restore
+                # failure still lands in the quarantine path below).
+                has_metric = self._has_val_metric(step)
+                if has_metric is False:
                     raise KeyError(
                         "checkpoint has no 'val_metric' (foreign schema)"
+                    )
+                if has_metric is None:
+                    import warnings
+
+                    warnings.warn(
+                        f"unrecognized checkpoint metadata layout in "
+                        f"{self.directory!r} step {step}; attempting the "
+                        f"metric restore anyway"
                     )
                 restored = self._mgr.restore(
                     step,
@@ -308,17 +337,25 @@ class BestCheckpointTracker:
             )
             self._mgr = self._open()
 
-    def _has_val_metric(self, step: int) -> bool:
+    def _has_val_metric(self, step: int) -> Optional[bool]:
+        """True/False when the step's metadata is readable in the known
+        Orbax on-disk layout (<step>/default/_METADATA with a
+        tree_metadata/key_metadata schema); None when the layout itself
+        is unrecognized — the caller must NOT treat None as corruption,
+        only as "cannot pre-check"."""
         import json
 
         path = os.path.join(self.directory, str(step), "default",
                             "_METADATA")
-        with open(path) as f:
-            tm = json.load(f)["tree_metadata"]
-        return any(
-            e["key_metadata"][0]["key"] == "val_metric"
-            for e in tm.values()
-        )
+        try:
+            with open(path) as f:
+                tm = json.load(f)["tree_metadata"]
+            return any(
+                e["key_metadata"][0]["key"] == "val_metric"
+                for e in tm.values()
+            )
+        except Exception:  # noqa: BLE001 — layout probe only, see above
+            return None
 
     def _open(self) -> ocp.CheckpointManager:
         return ocp.CheckpointManager(
@@ -330,7 +367,17 @@ class BestCheckpointTracker:
         )
 
     def _quarantine(self) -> str:
-        """Move the unreadable best/ dir aside (never delete user data)."""
+        """Move the unreadable best/ dir aside (never delete user data).
+
+        Race-safe for multi-process training: every process constructs a
+        tracker against the same shared checkpoint FS, so on a resume
+        after a mid-save kill ALL of them can enter this path at once.
+        os.rename is atomic but only one rename of the same source can
+        win — the losers see FileNotFoundError (source already moved:
+        quarantined by a peer, report that target) or FileExistsError /
+        ENOTEMPTY (target taken: bump the suffix and retry). Crashing
+        here would kill that worker inside the recovery path and hang
+        the job at the next collective."""
         try:
             getattr(self, "_mgr", None).close()
         except Exception:  # noqa: BLE001 — mgr may not exist / be broken
@@ -338,10 +385,17 @@ class BestCheckpointTracker:
         n = 0
         while True:
             target = f"{self.directory}.corrupt-{n}"
-            if not os.path.exists(target):
-                break
-            n += 1
-        os.rename(self.directory, target)
+            if os.path.exists(target):
+                n += 1
+                continue
+            try:
+                os.rename(self.directory, target)
+            except FileNotFoundError:
+                break  # a peer process already quarantined it
+            except OSError:
+                n += 1  # lost the target to a peer; try the next suffix
+                continue
+            break
         os.makedirs(self.directory, exist_ok=True)
         return target
 

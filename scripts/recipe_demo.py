@@ -30,9 +30,6 @@ from typing import Dict, Optional
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROWS = ("stage1", "stage1_rescore_untrained", "stage2_rescore")
-
-
 def _eval_with(cfg, params, rescore: bool, split: str = "val"):
     from drn_tpu.evaluate import evaluate
     from drn_tpu.train import build_model

@@ -158,3 +158,83 @@ def test_tracker_rejects_non_finite_metrics(tmp_path):
     assert not tr.update(5, params, float("inf"))  # inf equally rejected
     tr.wait()
     tr.close()
+
+
+def test_quarantine_tolerates_losing_the_rename_race(tmp_path, monkeypatch):
+    """Multi-process training constructs a tracker on EVERY process
+    against the same shared FS; on a resume after a mid-save kill all of
+    them can quarantine concurrently. The os.rename losers (source
+    already moved by a peer, or target suffix taken) must recover, not
+    crash inside the recovery path — a dead worker there hangs the job
+    at the next collective."""
+    import os as _os
+
+    d = str(tmp_path / "ckpt")
+    best = tmp_path / "ckpt" / "best" / "7"
+    best.mkdir(parents=True)
+    (best / "junk.bin").write_bytes(b"\x00not-a-checkpoint")
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def racing_rename(src, dst):
+        # Emulate a peer process winning the same quarantine rename: the
+        # first attempt finds the source already gone.
+        if calls["n"] == 0 and dst.endswith(".corrupt-0"):
+            calls["n"] += 1
+            real_rename(src, dst)  # the "peer" moves it…
+            raise FileNotFoundError(src)  # …and we lose the race
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", racing_rename)
+    with pytest.warns(UserWarning, match="best-checkpoint metric restore"):
+        tr = BestCheckpointTracker(d)
+    assert tr.best_metric is None
+    params = {"w": np.arange(4.0, dtype=np.float32)}
+    assert tr.update(8, params, 1.0)  # tracker fully functional after
+    tr.wait()
+    tr.close()
+    # the peer's quarantine preserved the data
+    assert (tmp_path / "ckpt" / "best.corrupt-0" / "7" / "junk.bin").exists()
+
+    # Target-suffix contention: corrupt-0 taken → the loser bumps to -1.
+    d2 = str(tmp_path / "ckpt2")
+    best2 = tmp_path / "ckpt2" / "best" / "3"
+    best2.mkdir(parents=True)
+    (best2 / "junk.bin").write_bytes(b"\x00garbage")
+    (tmp_path / "ckpt2" / "best.corrupt-0").mkdir()
+    with pytest.warns(UserWarning, match="best-checkpoint metric restore"):
+        tr2 = BestCheckpointTracker(d2)
+    assert (tmp_path / "ckpt2" / "best.corrupt-1" / "3" / "junk.bin").exists()
+    tr2.close()
+
+
+def test_unrecognized_metadata_layout_does_not_quarantine_valid_best(
+        tmp_path, monkeypatch):
+    """An Orbax version bump can move/reshape the on-disk _METADATA the
+    schema probe reads. The probe returning None ("cannot pre-check")
+    must NOT count as corruption: the tracker attempts the restore and a
+    VALID best checkpoint keeps its metric instead of being quarantined
+    into a silent best→latest fallback."""
+    d = str(tmp_path / "ckpt")
+    params = {"w": np.arange(4.0, dtype=np.float32)}
+    tr = BestCheckpointTracker(d)
+    assert tr.update(5, params, 42.0)
+    tr.wait()
+    tr.close()
+
+    monkeypatch.setattr(BestCheckpointTracker, "_has_val_metric",
+                        lambda self, step: None)
+    with pytest.warns(UserWarning, match="unrecognized checkpoint metadata"):
+        tr2 = BestCheckpointTracker(d)
+    assert tr2.best_metric == 42.0  # restored, not quarantined
+    assert not (tmp_path / "ckpt" / "best.corrupt-0").exists()
+    tr2.close()
+
+    # And the probe itself is three-valued: a step dir with no readable
+    # metadata reports None, never False.
+    d3 = str(tmp_path / "ckpt3")
+    (tmp_path / "ckpt3" / "best" / "9").mkdir(parents=True)
+    t3 = BestCheckpointTracker.__new__(BestCheckpointTracker)
+    t3.directory = f"{d3}/best"
+    assert t3._has_val_metric(9) is None

@@ -59,6 +59,13 @@ def test_parity_diffs_detect_semantic_drift(tmp_path):
                                                stage=2))
     assert config_parity_diffs(saved, d4) == []
 
+    # Scheduling-only model knobs pick between numerics-equivalent
+    # compute paths (design.md §3/§4.2): re-tuning them must not lock
+    # users out of existing checkpoints.
+    d5 = _mutated(cfg, use_pallas_fusion=True,
+                  iou_fold_mix_min_locations=0)
+    assert config_parity_diffs(saved, d5) == []
+
 
 def test_check_raises_warns_and_passes(tmp_path):
     cfg = get_config("synthetic_tiny")

@@ -177,3 +177,75 @@ def test_iou_fold_mix_equivalent_and_gated():
     zb = np.asarray(IoUHead(m_fold).apply(
         {"params": pr}, pyr_s, seg_s, level_ids_s, strides_s))
     np.testing.assert_array_equal(za, zb)
+
+
+def test_iou_fold_mix_gradient_path_at_production_width():
+    """The fold is live in the stage-2 TRAINING graph (TACoS N=960 ≥ the
+    512 gate), where mix_0's params are consumed via `self.variables` +
+    a functional LayerNorm.apply instead of declared submodules — so the
+    backward through that read path must match the unfolded module's, at
+    PRODUCTION width (CLAUDE.md: tiny configs mask this class of bug).
+    fp32 end to end so the only divergence left is matmul reassociation;
+    checks grads wrt BOTH the params (Adam's view, incl. mix_0 getting
+    nonzero grads through the variables read) and the pyramid inputs
+    (the path stage-2 joint training backprops into the FPN/backbone)."""
+    import dataclasses
+
+    import jax
+
+    from drn_tpu.config import ModelConfig
+    from drn_tpu.models.drn import location_metadata
+    from drn_tpu.models.heads import IoUHead
+
+    rng = np.random.default_rng(11)
+    base, b = 256, 2  # N = 256+128+64+32 = 480: blocked + foldable
+    m = ModelConfig(
+        feature_dim=1024, hidden_dim=512, num_levels=4, dtype="float32",
+        level_ranges=((0.0, 0.12), (0.12, 0.25), (0.25, 0.5), (0.5, 2.0)),
+        iou_fold_mix_min_locations=10 ** 9,  # `m` = unfolded reference
+    )
+    m_fold = dataclasses.replace(m, iou_fold_mix_min_locations=0)
+    sizes = [base // 2 ** l for l in range(m.num_levels)]
+    n = sum(sizes)
+    pyramid = [
+        jnp.asarray(rng.normal(size=(b, t, m.hidden_dim)), jnp.float32)
+        for t in sizes
+    ]
+    _, strides, level_ids = location_metadata(m, base)
+    segments = jnp.asarray(
+        np.sort(rng.uniform(0, base, size=(b, n, 2)), axis=-1), jnp.float32)
+    targets = jnp.asarray(rng.uniform(0, 1, size=(b, n)), jnp.float32)
+
+    params = IoUHead(m).init(
+        jax.random.key(0), pyramid, segments, level_ids, strides)["params"]
+
+    def loss_fn(mdl):
+        def f(p, pyr):
+            pred = IoUHead(mdl).apply(
+                {"params": p}, pyr, segments, level_ids, strides)
+            return jnp.mean((pred - targets) ** 2)  # stage-2 IoU MSE shape
+        return f
+
+    ga_p, ga_x = jax.value_and_grad(loss_fn(m), argnums=(0, 1))(
+        params, pyramid)[1]
+    gb_p, gb_x = jax.value_and_grad(loss_fn(m_fold), argnums=(0, 1))(
+        params, pyramid)[1]
+
+    # mix_0 receives real gradient through the fold's variables read.
+    k_fold = np.asarray(gb_p["mix_0"]["Conv_0"]["kernel"])
+    assert np.isfinite(k_fold).all() and np.abs(k_fold).max() > 0
+
+    def flat(tree):
+        return jax.tree_util.tree_leaves_with_path(tree)
+
+    for (path_a, a), (_, bb) in zip(flat(ga_p), flat(gb_p)):
+        a, bb = np.asarray(a), np.asarray(bb)
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, bb, rtol=2e-3, atol=2e-4 * scale,
+            err_msg=jax.tree_util.keystr(path_a))
+    for i, (a, bb) in enumerate(zip(ga_x, gb_x)):
+        a, bb = np.asarray(a), np.asarray(bb)
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(a, bb, rtol=2e-3, atol=2e-4 * scale,
+                                   err_msg=f"pyramid level {i}")

@@ -219,10 +219,13 @@ if phase == "preempt" and pid == 0:
     ).start()
 
 max_steps = None if phase == "preempt" else int(arg)
-state = train(cfg, mesh=mesh, max_steps=max_steps, preemption_guard=guard)
+run_info = {}
+state = train(cfg, mesh=mesh, max_steps=max_steps, preemption_guard=guard,
+              run_info=run_info)
 print("WORKER_JSON " + json.dumps({
     "pid": pid, "phase": phase, "triggered": guard.triggered,
     "stop_step": int(state.step), "exit_code": exit_code_for(guard),
+    "start_step": run_info["start_step"],
 }), flush=True)
 """
 
@@ -354,13 +357,17 @@ def test_two_process_preemption_coordinated_stop_and_resume(tmp_path):
     assert by_pid[0]["exit_code"] == by_pid[1]["exit_code"] == 75
 
     # Resume: both processes restore the preemption checkpoint and run
-    # exactly 2 more steps — final step == stop + 2 proves the restore
-    # picked up the coordinated save (0 + 2 would mean a fresh start).
+    # exactly 2 more steps. stop_step alone cannot prove the restore —
+    # max_steps is an ABSOLUTE step target, so a silent fresh start
+    # would also end at stop + 2 — which is why the worker reports
+    # train()'s actual start_step: it must equal the coordinated stop
+    # step (0 would mean the restore was skipped or failed).
     outs2 = _run_workers(nproc=2, script=WORKER_PREEMPT,
                          extra=[ckpt, "resume", str(stop + 2)])
     for o in outs2:
         assert not o["triggered"]
         assert o["exit_code"] == 0
+        assert o["start_step"] == stop, (o, stop)
         assert o["stop_step"] == stop + 2, (o, stop)
 
 

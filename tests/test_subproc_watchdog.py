@@ -437,3 +437,27 @@ def test_all_configs_gates_once_and_disables_child_gates(monkeypatch,
         i = cmd.index("--relay-gate")
         assert cmd[i + 1] == "0"
     capsys.readouterr()
+
+
+def test_apply_model_override_bool_spellings_and_rejection():
+    """Boolean --model-override values must be explicit: a silent False
+    on an unrecognized spelling ('yes', '2', ' True') would make the A/B
+    instrument measure baseline-vs-baseline and record a fake 'no
+    difference' verdict."""
+    from drn_tpu.config import get_config
+
+    bench = _bench()
+    cfg = get_config("charades_c3d")
+    for spelling, want in (("true", True), ("YES", True), ("1", True),
+                           (" on ", True), ("false", False), ("0", False),
+                           ("off", False), ("no", False)):
+        out = bench.apply_model_override(cfg, f"use_pallas_fusion={spelling}")
+        assert out.model.use_pallas_fusion is want, spelling
+    for bad in ("2", "enabled", "", "tru"):
+        with pytest.raises(SystemExit, match="not recognized"):
+            bench.apply_model_override(cfg, f"use_pallas_fusion={bad}")
+    # numeric fields coerce by the field's type; typos raise
+    out = bench.apply_model_override(cfg, "iou_fold_mix_min_locations=0")
+    assert out.model.iou_fold_mix_min_locations == 0
+    with pytest.raises(AttributeError):
+        bench.apply_model_override(cfg, "no_such_field=1")

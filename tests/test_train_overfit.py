@@ -98,3 +98,40 @@ def test_regression_learns_at_flagship_width():
     # must keep improving long after the step-2 freeze point
     assert history[-1] > history[2] + 0.1, history[::5]
     assert history[-1] > 0.45, history[-1]
+
+
+def test_stage2_iou_head_learns_under_fold_at_flagship_width():
+    """The mix-fold is live in the stage-2 TRAINING step at production
+    shapes (TACoS N=960 ≥ the 512 gate) but the bench A/Bs are eval-only;
+    this drives the REAL jitted stage-2 train_step at flagship width
+    (hidden 512) on a fold-active grid (N=448 ≥ 256, threshold forced to
+    0) and requires the IoU loss to actually fall — the variables-read
+    gradient path must train, not just match in a one-shot fwd/bwd
+    (tests/test_layers.py pins that). CLAUDE.md: validate training
+    changes at PRODUCTION width."""
+    import jax.numpy as jnp
+
+    cfg = get_config("charades_c3d")  # full hidden width 512
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, feature_dim=1024,
+                                  iou_fold_mix_min_locations=0),
+        data=dataclasses.replace(cfg.data, dataset="synthetic",
+                                 num_clips=256, batch_size=2),
+        train=dataclasses.replace(cfg.train, stage=2),
+    )
+    from drn_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(cfg.data, cfg.model, num_examples=2)
+    batch = next(BatchIterator(ds, 2, shuffle=False).epoch(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model = build_model(cfg)
+    state = init_state(cfg, model, make_optimizer(cfg, 100), jax.random.key(0))
+    step = make_train_step(cfg, model, mesh=None)
+    history = []
+    for _ in range(14):
+        state, m = step(state, jb)
+        history.append(float(m["iou_loss"]))
+    assert np.isfinite(history).all(), history
+    # memorizing 2 examples: the stage-2 head must fit its tIoU targets
+    assert history[-1] < 0.5 * history[0], history
