@@ -319,6 +319,24 @@ _REGISTRY: Dict[str, ExperimentConfig] = {
                    checkpoint_every_steps=10_000),
         eval=dict(top_k=32, batch_size=64),
     ),
+    # 6b) The same recipe demonstration at PRODUCTION width (hidden 512,
+    # 3 LSTM layers, I3D-like 1024-d features — the dims the real configs
+    # train at), because width-dependent training bugs exist: a hard exp()
+    # froze every regression gradient at width 512 while the tiny config
+    # trained fine (CLAUDE.md; test_regression_learns_at_flagship_width).
+    # Same held-out-val regime as synthetic_recipe; ~40 min on the TPU
+    # (relay dispatch dominates — CLAUDE.md) and similar on CPU.
+    # Trail: logs/recipe_demo_flagship_r4.log.
+    "synthetic_recipe_flagship": _cfg(
+        "synthetic_recipe_flagship",
+        model=dict(feature_dim=1024, hidden_dim=512, vocab_size=512),
+        data=dict(dataset="synthetic", num_clips=64, max_query_len=12,
+                  batch_size=32, synthetic_examples=4096,
+                  synthetic_snr=0.5, synthetic_distractors=2),
+        train=dict(num_epochs=3, log_every_steps=32,
+                   checkpoint_every_steps=10_000),
+        eval=dict(top_k=32, batch_size=64),
+    ),
     # 5) End-to-end training on a TPU mesh (synthetic fixture runs everywhere).
     "synthetic_tiny": _cfg(
         "synthetic_tiny",
