@@ -85,7 +85,26 @@ class FeatureReader:
             f = self._h5_file()
             if video_id not in f:
                 raise KeyError(video_id)
-            return np.asarray(f[video_id])
+            node = f[video_id]
+            if not hasattr(node, "shape"):
+                # h5py.Group, not a Dataset: the public ActivityNet C3D
+                # release nests features one level down
+                # (f["v_..."]["c3d_features"]). Prefer a child whose name
+                # mentions "feature"; fall back to a sole child; anything
+                # else is ambiguous and must be converted explicitly.
+                keys = list(node.keys())
+                named = [k for k in keys if "feature" in k.lower()]
+                if len(named) == 1:
+                    node = node[named[0]]
+                elif len(keys) == 1:
+                    node = node[keys[0]]
+                else:
+                    raise KeyError(
+                        f"HDF5 group {video_id!r} in {self.feature_dir!r} "
+                        f"holds {len(keys)} datasets ({keys[:4]}...) and "
+                        f"none is unambiguously the feature array — "
+                        f"re-export with one dataset per video")
+            return np.asarray(node)
         path = os.path.join(self.feature_dir, f"{video_id}.npy")
         if not os.path.exists(path):
             raise FileNotFoundError(path)
