@@ -21,10 +21,12 @@ import numpy as np
 
 def load_features(path: str, video_id: str = "") -> np.ndarray:
     if path.endswith((".h5", ".hdf5")):
-        import h5py
+        # One reader for every archive layout (incl. the public
+        # ActivityNet nested groups) — data/features.py is the only
+        # place HDF5 structure is interpreted.
+        from drn_tpu.data.features import FeatureReader
 
-        with h5py.File(path, "r") as f:
-            return np.asarray(f[video_id])
+        return FeatureReader(path).read(video_id)
     return np.load(path)
 
 

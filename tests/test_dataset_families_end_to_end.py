@@ -130,6 +130,18 @@ def test_tacos_flat_h5_train_then_evaluate(tmp_path, capsys):
         tmp_path / "ckpt", capsys)
 
 
+def test_infer_load_features_nested_h5(tmp_path):
+    """infer.load_features goes through the same FeatureReader, so the
+    single-query CLI accepts the public nested archives too."""
+    from drn_tpu.infer import load_features
+
+    path = tmp_path / "anet.hdf5"
+    arr = np.arange(20, dtype=np.float32).reshape(5, 4)
+    with h5py.File(path, "w") as f:
+        f.create_group("v_abc").create_dataset("c3d_features", data=arr)
+    np.testing.assert_array_equal(load_features(str(path), "v_abc"), arr)
+
+
 def test_nested_h5_reader_layouts(tmp_path):
     """FeatureReader.read on the three archive layouts + the ambiguity
     guard (no CLI — direct unit pins for drn_tpu/data/features.py)."""
