@@ -98,12 +98,16 @@ class FeatureReader:
                     node = node[named[0]]
                 elif len(keys) == 1:
                     node = node[keys[0]]
-                else:
-                    raise KeyError(
+                # ValueError, not KeyError: every caller treats KeyError
+                # as "video missing" (validate.py counts them, num_frames
+                # returns None) and would swallow the diagnostic.
+                if not hasattr(node, "shape"):
+                    raise ValueError(
                         f"HDF5 group {video_id!r} in {self.feature_dir!r} "
-                        f"holds {len(keys)} datasets ({keys[:4]}...) and "
-                        f"none is unambiguously the feature array — "
-                        f"re-export with one dataset per video")
+                        f"does not resolve to a feature array (children: "
+                        f"{keys[:4]}) — re-export with one dataset per "
+                        f"video, or nest exactly one dataset (or one "
+                        f"named '*feature*') per group")
             return np.asarray(node)
         path = os.path.join(self.feature_dir, f"{video_id}.npy")
         if not os.path.exists(path):

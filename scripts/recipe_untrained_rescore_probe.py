@@ -54,6 +54,10 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (see scripts/recipe_demo.py)")
     args = p.parse_args(argv)
+    if args.seed_start >= args.seeds:
+        p.error(f"--seed-start {args.seed_start} >= --seeds {args.seeds}: "
+                f"empty seed range (--seeds is the EXCLUSIVE end bound, "
+                f"not a count)")
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax

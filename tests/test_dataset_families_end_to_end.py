@@ -156,12 +156,21 @@ def test_nested_h5_reader_layouts(tmp_path):
         g = f.create_group("ambiguous")
         g.create_dataset("a", data=arr)
         g.create_dataset("b", data=arr)
+        # two levels of nesting: the named match resolves to a GROUP, which
+        # must raise (not silently np.asarray the child key names)
+        f.create_group("deep").create_group("c3d_features").create_dataset(
+            "data", data=arr)
 
     r = FeatureReader(str(path))
     np.testing.assert_array_equal(r.read("flat"), arr)
     np.testing.assert_array_equal(r.read("nested"), arr + 1)  # named match
     np.testing.assert_array_equal(r.read("sole"), arr + 2)    # sole child
-    with pytest.raises(KeyError, match="ambiguous"):
+    # ValueError (NOT KeyError): callers treat KeyError as "video missing"
+    # and would swallow the re-export diagnostic (validate.py routes
+    # ValueError to a per-video unreadable error instead)
+    with pytest.raises(ValueError, match="ambiguous"):
         r.read("ambiguous")
+    with pytest.raises(ValueError, match="deep"):
+        r.read("deep")
     with pytest.raises(KeyError):
         r.read("missing_vid")
