@@ -560,6 +560,13 @@ def main(argv=None):
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from env "
                         "(the torch.distributed.launch equivalent)")
+    p.add_argument("--preflight", action="store_true",
+                   help="run the dataset validator (drn_tpu.data.validate) "
+                        "on the train split before touching the "
+                        "accelerator; exit non-zero on anything a run "
+                        "would crash on or silently mis-scale")
+    p.add_argument("--preflight-sample", type=int, default=200,
+                   help="feature files sampled by --preflight")
     args = p.parse_args(argv)
 
     from drn_tpu.utils import enable_jit_cache
@@ -606,6 +613,33 @@ def main(argv=None):
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
     if da:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **da))
+
+    if args.preflight:
+        # Fail before any compile/init time is spent. Only the train split
+        # gates the run hard — a missing val file merely skips periodic
+        # eval (see _make_val_eval), so it must not block training here.
+        if cfg.data.dataset == "synthetic":
+            print("[preflight] synthetic dataset — nothing to validate",
+                  file=sys.stderr)
+        else:
+            from drn_tpu.data.validate import validate
+
+            report = validate(cfg, splits=("train",),
+                              sample=args.preflight_sample)
+            for rep in report.get("splits", []):
+                for w in rep["warnings"]:
+                    print(f"[preflight][{rep['split']}] WARN: {w}",
+                          file=sys.stderr)
+                for e in rep["errors"]:
+                    print(f"[preflight][{rep['split']}] ERROR: {e}",
+                          file=sys.stderr)
+            for e in report.get("errors", []):
+                print(f"[preflight] ERROR: {e}", file=sys.stderr)
+            if not report["ok"]:
+                raise SystemExit(
+                    "preflight validation failed — fix the data errors "
+                    "above (or rerun without --preflight)")
+            print("[preflight] ok", file=sys.stderr)
 
     model_axis = (args.model_axis if args.model_axis is not None
                   else cfg.mesh.model_axis)

@@ -128,3 +128,41 @@ def test_evaluate_cli_torch_checkpoint(charades_fixture, tmp_path, capsys):
     pairs = re.findall(r"R@(\d),IoU=([\d.]+): ([\d.]+)", out)
     assert len(pairs) == 6
     assert "mIoU:" in out
+
+
+@pytest.mark.slow
+def test_train_preflight_gates_bad_data(charades_fixture, tmp_path, capsys):
+    """--preflight: broken data must abort BEFORE any training (fast
+    SystemExit), good data must proceed into the normal run."""
+    import dataclasses
+
+    from drn_tpu import config as config_mod, train
+
+    root, feat_dir = charades_fixture
+    tiny = config_mod.get_config("synthetic_tiny")
+    patched = tiny.replace(
+        name="charades_cli_preflight",
+        model=dataclasses.replace(tiny.model, feature_dim=32),
+        data=dataclasses.replace(
+            tiny.data, dataset="charades", feature_type="c3d",
+            feature_fps=2.0, num_clips=32,
+        ),
+    )
+    config_mod._REGISTRY["charades_cli_preflight"] = patched
+    empty = tmp_path / "empty_feats"
+    empty.mkdir()
+    base = [
+        "--config", "charades_cli_preflight",
+        "--annotation-path", str(root / "charades_sta_{split}.txt"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--epochs", "1", "--max-steps", "1", "--batch-size", "8",
+        "--preflight",
+    ]
+    try:
+        # every sampled feature file missing -> validator errors -> exit
+        with pytest.raises(SystemExit, match="preflight validation failed"):
+            train.main(base + ["--feature-dir", str(empty)])
+        # good data: preflight passes and one real step runs
+        train.main(base + ["--feature-dir", str(feat_dir)])
+    finally:
+        config_mod._REGISTRY.pop("charades_cli_preflight", None)
