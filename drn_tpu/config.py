@@ -160,7 +160,13 @@ class EvalConfig:
     nms_iou_threshold: float = 0.5
     recall_ns: Tuple[int, ...] = (1, 5)
     iou_thresholds: Tuple[float, ...] = (0.3, 0.5, 0.7)
-    score_use_iou_head: bool = True  # score = sigmoid(match) * sigmoid(iou_pred)
+    score_use_iou_head: bool = True  # score = sigmoid(match) * sigmoid(iou_pred)^w
+    # Rescore blend exponent w: 0 ≡ rescoring off, 1 ≡ the full product
+    # (the reference's score, SURVEY.md §4.3). Fractional w softens the
+    # IoU head's reranking, trading back some of the R@1 gain for the
+    # R@5 it costs at w=1 — sweep trail in design.md §4.3 / logs/
+    # rescore_weight_sweep_r5.log (VERDICT r4 item 2).
+    score_iou_weight: float = 1.0
     batch_size: int = 32
 
 

@@ -82,8 +82,13 @@ def make_eval_step(cfg: ExperimentConfig, model: DRN,
             params, batch["features"], batch["word_ids"], batch["query_mask"]
         )
         score = jax.nn.sigmoid(out["match_logits"])
-        if e.score_use_iou_head:
-            score = score * jax.nn.sigmoid(out["iou_logits"])
+        if e.score_use_iou_head and e.score_iou_weight > 0.0:
+            iou_s = jax.nn.sigmoid(out["iou_logits"])
+            if e.score_iou_weight != 1.0:
+                # Blend exponent (config.py EvalConfig.score_iou_weight):
+                # sigmoid > 0 everywhere, so the fractional power is safe.
+                iou_s = iou_s ** e.score_iou_weight
+            score = score * iou_s
         top_scores, top_idx = jax.lax.top_k(score, e.top_k)
         top_segs = jnp.take_along_axis(
             out["segments"], top_idx[..., None], axis=1

@@ -99,6 +99,7 @@ def export_eval_step(cfg: ExperimentConfig, model, params,
         "top_k": cfg.eval.top_k,
         "nms_iou_threshold": cfg.eval.nms_iou_threshold,
         "score_use_iou_head": cfg.eval.score_use_iou_head,
+        "score_iou_weight": cfg.eval.score_iou_weight,
     }
     return exported, sidecar
 

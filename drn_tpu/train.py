@@ -274,7 +274,22 @@ def _default_eval_fn(cfg: ExperimentConfig, model: DRN,
             dataset = make_dataset(cfg.data, cfg.model, vocab=vocab,
                                    split=split)
             break
-        except (FileNotFoundError, KeyError, ValueError):
+        except FileNotFoundError:
+            continue  # split simply absent (e.g. Charades has no val)
+        except (KeyError, ValueError) as e:
+            # The file EXISTS but failed to parse — silently skipping
+            # would disable in-training eval AND best-on-val tracking
+            # with no trace (VERDICT r4 item 6). Loud, named warning;
+            # training itself still proceeds.
+            print(
+                f"[train] WARNING: {split!r} annotations exist but are "
+                f"unreadable ({type(e).__name__}: {e}); skipping this "
+                f"split for in-training eval. If no other split loads, "
+                f"periodic eval and best-on-val tracking are DISABLED "
+                f"for this run — fix the file (see drn_tpu.data.validate "
+                f"/ train.py --preflight).",
+                flush=True,
+            )
             continue
     if dataset is None:
         return None
@@ -379,6 +394,27 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
         # can detect parity-relevant drift. Written AFTER the checks
         # above — a legitimate (or overridden) run then records the
         # config actually in effect.
+        if not cfg.train.resume:
+            # A FRESH run into a dir that already holds another config's
+            # provenance would re-attribute any existing Orbax steps to
+            # the new config — a later restore of one of those old steps
+            # then PASSES the parity guard it should trip (ADVICE r4).
+            # Warn loudly; the overwrite below still proceeds (the user
+            # may be intentionally recycling the directory).
+            from drn_tpu.utils.checkpoint import (config_parity_diffs,
+                                                  load_experiment_config)
+
+            stale = load_experiment_config(ckpt_dir)
+            if stale is not None and config_parity_diffs(stale, cfg):
+                print(
+                    f"[train] WARNING: {ckpt_dir!r} already contains "
+                    f"provenance for a parity-DIFFERENT config "
+                    f"({stale.get('name', '?')!r}); overwriting it. Any "
+                    f"pre-existing checkpoint steps in this directory "
+                    f"belong to the OLD config — use a fresh "
+                    f"--checkpoint-dir to keep them distinguishable.",
+                    flush=True,
+                )
         save_experiment_config(ckpt_dir, cfg)
 
     if mesh is not None:

@@ -154,25 +154,45 @@ def load_experiment_config(directory: str) -> Optional[dict]:
 
 def config_parity_diffs(saved: dict, cfg: Any) -> list:
     """Human-readable list of parity-relevant differences between a
-    persisted config dict and the active ExperimentConfig."""
+    persisted config dict and the active ExperimentConfig.
+
+    Only keys present in BOTH configs can hard-fail: a key the saved
+    config has never heard of is additive schema evolution (a new field
+    with a default), and treating saved=absent vs active=default as a
+    mismatch would brick every pre-upgrade checkpoint (ADVICE r4). Those
+    asymmetric keys get a warning instead — visible, not fatal."""
+    import warnings
+
     active = _jsonable_config(cfg)
     diffs = []
+    skewed = []  # keys on one side only — schema evolution, warn-only
     for section in _PARITY_SECTIONS:
         s, a = saved.get(section, {}), active.get(section, {})
         for k in sorted(set(s) | set(a)):
             if (section, k) in _PARITY_EXCLUDE:
                 continue
-            if s.get(k) != a.get(k):
+            if k not in s or k not in a:
+                skewed.append(f"{section}.{k}")
+            elif s[k] != a[k]:
                 diffs.append(
-                    f"{section}.{k}: checkpoint={s.get(k)!r} "
-                    f"active={a.get(k)!r}"
+                    f"{section}.{k}: checkpoint={s[k]!r} "
+                    f"active={a[k]!r}"
                 )
     for section, key in _PARITY_FIELDS:
-        sv = saved.get(section, {}).get(key)
-        av = active.get(section, {}).get(key)
-        if sv != av:
+        s, a = saved.get(section, {}), active.get(section, {})
+        if key not in s or key not in a:
+            skewed.append(f"{section}.{key}")
+        elif s[key] != a[key]:
             diffs.append(
-                f"{section}.{key}: checkpoint={sv!r} active={av!r}")
+                f"{section}.{key}: checkpoint={s[key]!r} "
+                f"active={a[key]!r}")
+    if skewed:
+        warnings.warn(
+            "checkpoint config schema differs from the active one (fields "
+            f"on one side only: {', '.join(sorted(set(skewed)))}); "
+            "cross-version restore — verify the new/removed fields' "
+            "defaults match how the checkpoint was trained"
+        )
     # Vocab MODE (GloVe vs hashed) changes the id space the embedding
     # table was trained against; the path itself may legitimately move.
     sg = bool(saved.get("data", {}).get("glove_path"))
@@ -391,7 +411,18 @@ class BestCheckpointTracker:
             try:
                 os.rename(self.directory, target)
             except FileNotFoundError:
-                break  # a peer process already quarantined it
+                # A peer process already quarantined it — our locally
+                # computed `target` is NOT where the peer moved it, so
+                # don't report a guessed (possibly nonexistent) path
+                # (ADVICE r4). The newest sibling quarantine dir is the
+                # peer's actual target when one is visible.
+                import glob
+
+                peers = glob.glob(f"{self.directory}.corrupt-*")
+                target = (max(peers, key=os.path.getmtime) if peers
+                          else f"{self.directory}.corrupt-* "
+                               f"(quarantined by a peer process)")
+                break
             except OSError:
                 n += 1  # lost the target to a peer; try the next suffix
                 continue

@@ -1,0 +1,178 @@
+"""Host feature-pipeline throughput (VERDICT r4 item 3 / SURVEY §4.4-§4.5).
+
+Every published q/s figure is DEVICE-only: bench.py pre-fills features in
+memory by design, so the host pipeline — the .npy read + resample + batch
+path that SURVEY §4.4 calls the host hot path — has never had a number. At
+the 59k q/s charades_c3d headline with 64×4096 fp32 features per query,
+a real eval would need ~57 GB/s of host reads; this probe measures what the
+host side actually delivers and therefore what an honest end-to-end
+deployment gets.
+
+Method: build an on-disk corpus at flagship dims (per-video .npy, T_raw
+rows × 4096 fp32, Charades-like annotation fan-out), then drain full epochs
+through the REAL iterators:
+
+  - BatchIterator (in-process), native C++ mmap read+resample
+  - BatchIterator (in-process), NumPy fallback (DRN_NATIVE_READER=0)
+  - GrainBatchIterator at several worker counts (native + NumPy)
+
+Two epochs each: epoch 1 includes page-cache warmup, epoch 2 is the
+steady-state (cache-warm) number — deployments re-reading an eval split
+every epoch live in the warm regime; the cold number bounds first-epoch
+ingest. Output: one JSON line per measurement + a summary with the
+device-rate ratio.
+
+    python scripts/host_pipeline_probe.py --videos 256 --out /tmp/corpus
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+def build_corpus(root: str, videos: int, dim: int, rows_lo: int,
+                 rows_hi: int, queries_per_video: int) -> dict:
+    """Charades-STA-format on-disk corpus; returns size stats."""
+    import numpy as np
+
+    feat_dir = os.path.join(root, "feats")
+    os.makedirs(feat_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    total_bytes = 0
+    for v in range(videos):
+        vid = f"VID{v:05d}"
+        path = os.path.join(feat_dir, f"{vid}.npy")
+        rows = int(rng.integers(rows_lo, rows_hi + 1))
+        if not os.path.exists(path):
+            np.save(path, rng.normal(size=(rows, dim)).astype(np.float32))
+        total_bytes += rows * dim * 4
+        dur = rows / 2.0  # feature_fps=2.0
+        for q in range(queries_per_video):
+            s = float(rng.uniform(0, dur * 0.6))
+            e = float(rng.uniform(s + 1.0, dur))
+            lines.append(f"{vid} {s:.1f} {e:.1f}##person does thing {q}.")
+    ann = os.path.join(root, "charades_sta_train.txt")
+    with open(ann, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return {"annotation": ann, "feature_dir": feat_dir,
+            "examples": len(lines), "raw_gb": total_bytes / 1e9,
+            "bytes_per_example": total_bytes * queries_per_video
+            / max(len(lines), 1)}
+
+
+def drain(it, epoch_idx: int) -> tuple:
+    n = 0
+    t0 = time.perf_counter()
+    for batch in it.epoch(epoch_idx):
+        n += int(batch["valid"].sum())
+    return n, time.perf_counter() - t0
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="host feature-pipeline probe")
+    p.add_argument("--out", default="/tmp/drn_host_corpus")
+    p.add_argument("--videos", type=int, default=256)
+    p.add_argument("--dim", type=int, default=4096)
+    p.add_argument("--rows", default="96,160",
+                   help="raw feature row range lo,hi per video")
+    p.add_argument("--queries-per-video", type=int, default=4)
+    p.add_argument("--num-clips", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--workers", default="1,2,4,8")
+    p.add_argument("--device-qps", type=float, default=59124.0,
+                   help="device-only eval rate to ratio against "
+                        "(BENCH charades_c3d row)")
+    args = p.parse_args(argv)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np  # noqa: F401  (corpus builder)
+
+    from drn_tpu.config import get_config
+    from drn_tpu.data.pipeline import (BatchIterator, GrainBatchIterator,
+                                       make_dataset)
+
+    rows_lo, rows_hi = (int(x) for x in args.rows.split(","))
+    t0 = time.time()
+    stats = build_corpus(args.out, args.videos, args.dim, rows_lo, rows_hi,
+                         args.queries_per_video)
+    print(f"[probe +{time.time() - t0:5.1f}s] corpus: {stats['examples']} "
+          f"examples over {args.videos} videos, {stats['raw_gb']:.2f} GB "
+          f"raw features", flush=True)
+
+    cfg = get_config("charades_c3d")
+    dcfg = dataclasses.replace(
+        cfg.data, feature_dir=stats["feature_dir"],
+        annotation_path=os.path.join(args.out, "charades_sta_{split}.txt"),
+        feature_fps=2.0, num_clips=args.num_clips,
+        batch_size=args.batch_size,
+    )
+    mcfg = dataclasses.replace(cfg.model, feature_dim=args.dim)
+    ds = make_dataset(dcfg, mcfg, split="train")
+    bytes_per_ex = stats["raw_gb"] * 1e9 / stats["examples"]
+
+    results = []
+
+    def measure(tag, make_it, env_native):
+        os.environ["DRN_NATIVE_READER"] = env_native
+        it = make_it()
+        for epoch in (0, 1):
+            n, dt = drain(it, epoch)
+            row = {
+                "pipeline": tag,
+                "native_reader": env_native != "0",
+                "epoch": "cold" if epoch == 0 else "warm",
+                "examples_per_s": round(n / dt, 1),
+                "read_mb_per_s": round(n * bytes_per_ex / dt / 1e6, 1),
+                "examples": n,
+                "seconds": round(dt, 2),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+        os.environ["DRN_NATIVE_READER"] = "1"
+
+    measure("BatchIterator", lambda: BatchIterator(
+        ds, args.batch_size, shuffle=False), "1")
+    measure("BatchIterator", lambda: BatchIterator(
+        ds, args.batch_size, shuffle=False), "0")
+    for w in (int(x) for x in args.workers.split(",")):
+        measure(f"GrainBatchIterator(workers={w})", lambda w=w:
+                GrainBatchIterator(ds, args.batch_size, shuffle=False,
+                                   worker_count=w), "1")
+    # NumPy fallback at the best worker count for the fallback guidance
+    w_max = max(int(x) for x in args.workers.split(","))
+    measure(f"GrainBatchIterator(workers={w_max})", lambda:
+            GrainBatchIterator(ds, args.batch_size, shuffle=False,
+                               worker_count=w_max), "0")
+
+    warm = [r for r in results if r["epoch"] == "warm"]
+    best = max(warm, key=lambda r: r["examples_per_s"])
+    print(json.dumps({
+        "probe": "host_pipeline",
+        "corpus_examples": stats["examples"],
+        "bytes_per_example_mb": round(bytes_per_ex / 1e6, 3),
+        "best_warm": best,
+        "device_qps": args.device_qps,
+        "host_to_device_ratio": round(
+            best["examples_per_s"] / args.device_qps, 4),
+        "implied_end_to_end_qps": round(min(
+            best["examples_per_s"], args.device_qps), 1),
+        "results": results,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -187,8 +187,13 @@ def test_quarantine_tolerates_losing_the_rename_race(tmp_path, monkeypatch):
         return real_rename(src, dst)
 
     monkeypatch.setattr(_os, "rename", racing_rename)
-    with pytest.warns(UserWarning, match="best-checkpoint metric restore"):
+    with pytest.warns(UserWarning,
+                      match="best-checkpoint metric restore") as rec:
         tr = BestCheckpointTracker(d)
+    # The race-loser's warning must point at the PEER'S actual quarantine
+    # target, not a locally guessed (nonexistent) suffix (ADVICE r4).
+    msgs = "\n".join(str(w.message) for w in rec)
+    assert "best.corrupt-0" in msgs, msgs
     assert tr.best_metric is None
     params = {"w": np.arange(4.0, dtype=np.float32)}
     assert tr.update(8, params, 1.0)  # tracker fully functional after

@@ -90,6 +90,59 @@ def test_check_raises_warns_and_passes(tmp_path):
         assert check_experiment_config(d, drifted) == []
 
 
+def test_additive_config_field_warns_not_fails(tmp_path):
+    """Schema evolution (ADVICE r4): a parity-relevant field ADDED after a
+    checkpoint was saved (saved=absent, active=default) must warn, not
+    hard-fail — otherwise every upgrade bricks every old checkpoint."""
+    cfg = get_config("synthetic_tiny")
+    save_experiment_config(str(tmp_path), cfg)
+    saved = load_experiment_config(str(tmp_path))
+
+    # Simulate a pre-upgrade checkpoint: drop a model field + a pinned
+    # data field from the saved dict.
+    del saved["model"]["hidden_dim"]
+    del saved["data"]["num_clips"]
+    with pytest.warns(UserWarning, match="schema"):
+        assert config_parity_diffs(saved, cfg) == []
+    # check_experiment_config passes (warning only, no ValueError)
+    with open(os.path.join(str(tmp_path), CONFIG_FILENAME), "w") as f:
+        json.dump(saved, f)
+    with pytest.warns(UserWarning, match="hidden_dim"):
+        assert check_experiment_config(str(tmp_path), cfg) == []
+
+    # A REAL value mismatch still hard-fails even alongside skewed keys.
+    drifted = _mutated(
+        cfg, head_tower_layers=cfg.model.head_tower_layers + 1)
+    with pytest.warns(UserWarning, match="schema"):
+        with pytest.raises(ValueError, match="head_tower_layers"):
+            check_experiment_config(str(tmp_path), drifted)
+
+
+@pytest.mark.slow
+def test_fresh_run_into_foreign_checkpoint_dir_warns(tmp_path, capsys):
+    """A fresh (resume=False) run into a dir holding another config's
+    provenance re-attributes the old steps — train() must warn before
+    overwriting experiment_config.json (ADVICE r4)."""
+    from drn_tpu.train import train
+
+    cfg = get_config("synthetic_tiny")
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, checkpoint_dir=str(tmp_path), eval_every_epochs=0,
+        resume=False))
+    train(cfg, max_steps=1)
+    capsys.readouterr()
+
+    # Same name + dir, parity-different config, fresh run.
+    drifted = _mutated(cfg, hidden_dim=cfg.model.hidden_dim * 2)
+    train(drifted, max_steps=1)
+    out = capsys.readouterr().out
+    assert "parity-DIFFERENT" in out
+    # ... and the provenance now records the new config (overwrite kept).
+    ckpt_dir = f"{tmp_path}/{cfg.name}/stage{cfg.train.stage}"
+    saved = json.load(open(os.path.join(ckpt_dir, CONFIG_FILENAME)))
+    assert saved["model"]["hidden_dim"] == drifted.model.hidden_dim
+
+
 @pytest.mark.slow
 def test_train_writes_provenance_and_resume_guards(tmp_path):
     """End-to-end: train() writes experiment_config.json; resuming (or

@@ -6,6 +6,7 @@ DP-sharded eval path on the virtual 8-device mesh.
 """
 
 import dataclasses
+import json
 
 import jax
 import numpy as np
@@ -234,6 +235,96 @@ def test_default_eval_fn_refuses_splitless_annotation(tmp_path, capsys):
     fn = _default_eval_fn(cfg, build_model(cfg), mesh=None)
     assert fn is None
     assert "skipping in-training eval" in capsys.readouterr().out
+
+
+def test_score_iou_weight_blend():
+    """EvalConfig.score_iou_weight (VERDICT r4 item 2): w=0 is bit-identical
+    to rescoring OFF, w=1 is the full product (the prior boolean behavior),
+    and fractional w applies sigmoid(match)·sigmoid(iou)^w exactly — checked
+    against a direct recomputation from raw model outputs AND the NumPy
+    reference oracle."""
+    import jax.numpy as jnp
+
+    cfg = get_config("synthetic_tiny")
+    model = build_model(cfg)
+    state = init_state(cfg, model, make_optimizer(cfg, 1), jax.random.key(0))
+    ds = make_dataset(cfg.data, cfg.model, split="test")
+    batch = next(BatchIterator(ds, cfg.data.batch_size,
+                               shuffle=False).epoch(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def run(use, w):
+        c = cfg.replace(eval=dataclasses.replace(
+            cfg.eval, score_use_iou_head=use, score_iou_weight=w))
+        return jax.device_get(make_eval_step(c, model)(state.params, jb))
+
+    _, _, segs_off, keep_off, scores_off = run(False, 1.0)
+    _, _, segs_w0, keep_w0, scores_w0 = run(True, 0.0)
+    np.testing.assert_array_equal(scores_off, scores_w0)   # w=0 ≡ off
+    np.testing.assert_array_equal(segs_off, segs_w0)
+    np.testing.assert_array_equal(keep_off, keep_w0)
+
+    _, _, _, _, scores_w1 = run(True, 1.0)
+    assert not np.allclose(scores_off, scores_w1)  # head does reweight
+
+    # Fractional w: top-k of m·i^w recomputed from raw outputs.
+    out = model.apply(state.params, jb["features"], jb["word_ids"],
+                      jb["query_mask"])
+    m = np.asarray(jax.nn.sigmoid(out["match_logits"]), np.float64)
+    i = np.asarray(jax.nn.sigmoid(out["iou_logits"]), np.float64)
+    _, _, _, _, scores_half = run(True, 0.5)
+    expected = np.sort(m * i ** 0.5, axis=1)[:, ::-1][:, :cfg.eval.top_k]
+    np.testing.assert_allclose(scores_half, expected, atol=1e-5)
+
+    # Oracle agreement at fractional w (same counts as the jitted step).
+    from drn_tpu.ops.metrics import MIOU_KEY
+    from drn_tpu.parity.oracle import reference_postprocess
+
+    counts_half = run(True, 0.5)[0]
+    oracle = reference_postprocess(
+        {k: np.asarray(out[k])
+         for k in ("segments", "match_logits", "iou_logits")},
+        gt=batch["gt_grid"], valid=batch["valid"],
+        top_k=cfg.eval.top_k,
+        nms_iou_threshold=cfg.eval.nms_iou_threshold,
+        score_use_iou_head=True, score_iou_weight=0.5,
+        ns=cfg.eval.recall_ns, iou_thresholds=cfg.eval.iou_thresholds,
+    )
+    for k, v in oracle["counts"].items():
+        if k == MIOU_KEY:
+            np.testing.assert_allclose(float(counts_half[k]), v, atol=1e-3)
+        else:
+            assert float(counts_half[k]) == v, (k, float(counts_half[k]), v)
+
+
+def test_default_eval_fn_warns_on_corrupt_val(tmp_path, capsys):
+    """A PRESENT but unreadable val annotation file must warn loudly, not
+    silently disable in-training eval (VERDICT r4 item 6) — and a readable
+    test split must still be picked up after the corrupt val."""
+    from drn_tpu.train import _default_eval_fn
+
+    ann = tmp_path / "anet_{split}.json"
+    (tmp_path / "anet_val.json").write_text("{ this is not json",
+                                            encoding="utf-8")
+    cfg = get_config("synthetic_tiny")
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, dataset="activitynet", annotation_path=str(ann)))
+
+    # Only the corrupt val exists → warn + disabled (None).
+    fn = _default_eval_fn(cfg, build_model(cfg), mesh=None)
+    out = capsys.readouterr().out
+    assert fn is None
+    assert "unreadable" in out and "'val'" in out
+
+    # A valid test split after the corrupt val → warn but still eval.
+    (tmp_path / "anet_test.json").write_text(json.dumps({
+        "v_ok": {"duration": 10.0, "timestamps": [[1.0, 4.0]],
+                 "sentences": ["a person walks"]},
+    }), encoding="utf-8")
+    fn = _default_eval_fn(cfg, build_model(cfg), mesh=None)
+    out = capsys.readouterr().out
+    assert fn is not None
+    assert "unreadable" in out
 
 
 def test_gradient_accumulation_matches_single_step():
