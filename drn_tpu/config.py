@@ -127,9 +127,13 @@ class TrainConfig:
     lr_decay_rate: float = 0.1
     stage: int = 1                   # 1 = grounding heads, 2 = +IoU head
     # Stage-2 variant (SURVEY.md §4.2, medium confidence on the reference's
-    # freezing details): True trains ONLY the IoU head from the stage-1
-    # init; False (default) fine-tunes everything jointly.
-    stage2_iou_only: bool = False
+    # freezing details): True (default) trains ONLY the IoU head from the
+    # stage-1 init; False fine-tunes everything jointly. Defaulted to the
+    # freeze on a 3-seed × 3-regime A/B at width 128 (freeze R@1-mean
+    # 39.13 vs joint 38.68 vs joint@0.1·lr 38.56, and joint shifts the
+    # grounding outputs so the recipe's rescore-off sanity row no longer
+    # matches stage 1) — docs/design.md §4.3, logs/stage2_regime_ab_r5.log.
+    stage2_iou_only: bool = True
     # Gradient accumulation: each optimizer update averages this many
     # consecutive micro-batch gradients (optax.MultiSteps) — large
     # effective batches on small slices without the memory. The LR decay

@@ -560,7 +560,13 @@ def main(argv=None):
     p.add_argument("--config", default="charades_c3d")
     p.add_argument("--stage", type=int, default=None)
     p.add_argument("--stage2-iou-only", action="store_true",
-                   help="stage 2: train only the IoU head (freeze the rest)")
+                   help="stage 2: train only the IoU head (freeze the rest; "
+                        "this is the config default — kept for script "
+                        "back-compat)")
+    p.add_argument("--stage2-joint", action="store_true",
+                   help="stage 2: fine-tune the whole network jointly "
+                        "instead of the default IoU-head freeze (measured "
+                        "worse: docs/design.md §4.3)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--accum-steps", type=int, default=None,
@@ -615,6 +621,9 @@ def main(argv=None):
     tr, da = {}, {}
     if args.stage is not None:
         tr["stage"] = args.stage
+    if args.stage2_iou_only and args.stage2_joint:
+        p.error("--stage2-iou-only and --stage2-joint are mutually "
+                "exclusive")
     if args.stage2_iou_only:
         tr["stage2_iou_only"] = True
         # make_optimizer gates the freeze on stage >= 2; without this
@@ -623,6 +632,8 @@ def main(argv=None):
         if tr.get("stage", cfg.train.stage) < 2:
             p.error("--stage2-iou-only requires --stage 2 (the freeze "
                     "only applies to stage-2 training)")
+    if args.stage2_joint:
+        tr["stage2_iou_only"] = False
     if args.accum_steps is not None:
         tr["accum_steps"] = args.accum_steps
     if args.epochs is not None:

@@ -64,3 +64,35 @@ def test_stage2_iou_only_requires_stage2_cli():
     with pytest.raises(SystemExit):
         main(["--config", "synthetic_tiny", "--stage2-iou-only",
               "--max-steps", "1"])
+
+
+def test_stage2_defaults_to_iou_only_freeze():
+    """Pin the measured stage-2 regime decision (docs/design.md §4.3,
+    logs/stage2_regime_ab_r5.log): the config default is the IoU-head
+    freeze, and a stage-2 optimizer built from defaults zeroes every
+    non-IoU-head update."""
+    cfg = get_config("synthetic_tiny")
+    assert cfg.train.stage2_iou_only is True
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, stage=2))
+    model = build_model(cfg)
+    state = init_state(cfg, model, make_optimizer(cfg, 10),
+                       jax.random.key(0))
+    ones = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    state2 = state.apply_gradients(grads=ones)
+    moved = jax.tree_util.tree_map_with_path(
+        lambda path, a, b: (any(getattr(p, "key", None) == "iou_head"
+                                for p in path),
+                            not np.array_equal(np.asarray(a),
+                                               np.asarray(b))),
+        state.params, state2.params)
+    for is_iou, did_move in jax.tree_util.tree_leaves(
+            moved, is_leaf=lambda x: isinstance(x, tuple)):
+        assert did_move == is_iou, (is_iou, did_move)
+
+
+def test_stage2_joint_cli_overrides_freeze_default():
+    from drn_tpu.train import main
+
+    with pytest.raises(SystemExit):
+        main(["--config", "synthetic_tiny", "--stage", "2",
+              "--stage2-iou-only", "--stage2-joint", "--max-steps", "1"])

@@ -21,7 +21,8 @@ from drn_tpu.train import build_model, init_state, make_optimizer, make_train_st
 def test_overfit_synthetic():
     cfg = get_config("synthetic_tiny")
     cfg = cfg.replace(
-        train=dataclasses.replace(cfg.train, learning_rate=3e-3, stage=2),
+        train=dataclasses.replace(cfg.train, learning_rate=3e-3, stage=2,
+                                 stage2_iou_only=False),
     )
     ds = make_dataset(cfg.data, cfg.model)
     ds.num_examples = 16
@@ -80,7 +81,8 @@ def test_regression_learns_at_flagship_width():
         model=dataclasses.replace(cfg.model, feature_dim=1024),
         data=dataclasses.replace(cfg.data, dataset="synthetic",
                                  num_clips=32, batch_size=4),
-        train=dataclasses.replace(cfg.train, stage=2),
+        train=dataclasses.replace(cfg.train, stage=2,
+                                 stage2_iou_only=False),
     )
     from drn_tpu.data.synthetic import SyntheticDataset
 
@@ -117,7 +119,8 @@ def test_stage2_iou_head_learns_under_fold_at_flagship_width():
                                   iou_fold_mix_min_locations=0),
         data=dataclasses.replace(cfg.data, dataset="synthetic",
                                  num_clips=256, batch_size=2),
-        train=dataclasses.replace(cfg.train, stage=2),
+        train=dataclasses.replace(cfg.train, stage=2,
+                                 stage2_iou_only=False),
     )
     from drn_tpu.data.synthetic import SyntheticDataset
 
