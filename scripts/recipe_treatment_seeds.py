@@ -209,7 +209,13 @@ def main(argv=None):
                  f"R@5,0.5={rows[tag_w].get('R@5,IoU=0.5', float('nan')):.2f}")
 
     # ---- summary ------------------------------------------------------
-    seeds = list(range(args.seed_start, args.seeds))
+    # Aggregate every seed present in state, not just this invocation's
+    # range — a resumed run (--seed-start N) must still report the full
+    # multi-seed table (learned the hard way: the r5 OOM-resume printed a
+    # seeds=[3] aggregate even though state held seeds 0-3).
+    seeds = sorted(s for s in range(max(args.seeds, 64))
+                   if f"trained_seed{s}" in rows
+                   and f"untrained_seed{s}" in rows)
     u = [r1_mean(rows[f"untrained_seed{s}"]) for s in seeds]
     t = [r1_mean(rows[f"trained_seed{s}"]) for s in seeds]
     base = r1_mean(rows["baseline_plain"])
