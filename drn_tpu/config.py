@@ -167,10 +167,15 @@ class EvalConfig:
     score_use_iou_head: bool = True  # score = sigmoid(match) * sigmoid(iou_pred)^w
     # Rescore blend exponent w: 0 ≡ rescoring off, 1 ≡ the full product
     # (the reference's score, SURVEY.md §4.3). Fractional w softens the
-    # IoU head's reranking, trading back some of the R@1 gain for the
-    # R@5 it costs at w=1 — sweep trail in design.md §4.3 / logs/
-    # rescore_weight_sweep_r5.log (VERDICT r4 item 2).
-    score_iou_weight: float = 1.0
+    # IoU head's reranking. Defaulted to 0.25 on a 2-width sweep
+    # (3-4 trained seeds each, w ∈ {0.25, 0.5, 0.75, 1}): w=0.25 keeps
+    # the FULL R@1 gain of w=1 at both widths (128: 37.07 vs 36.56 mean
+    # R@1,0.5; flagship 512: 36.81 vs 36.86) while recovering most of
+    # the R@5 cost (128: loss 5.9 → 1.7 pts vs the 78.4 no-rescore
+    # baseline; flagship: 12.0 → 2.4 pts vs 78.15) — design.md §4.4,
+    # logs/recipe_treatment_seeds_r5.log, logs/recipe_treatment_w128_r5.log
+    # (VERDICT r4 item 2). w=1 reproduces the reference's exact scoring.
+    score_iou_weight: float = 0.25
     batch_size: int = 32
 
 

@@ -58,7 +58,9 @@ def reference_postprocess(
     top_k: int,
     nms_iou_threshold: float,
     score_use_iou_head: bool = True,
-    score_iou_weight: float = 1.0,
+    # Mirrors EvalConfig.score_iou_weight's measured default; pass 1.0
+    # for the reference's exact score product (SURVEY.md §4.3).
+    score_iou_weight: float = 0.25,
     ns: Sequence[int] = (1, 5),
     iou_thresholds: Sequence[float] = (0.3, 0.5, 0.7),
 ):

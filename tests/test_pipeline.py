@@ -297,6 +297,40 @@ def test_score_iou_weight_blend():
             assert float(counts_half[k]) == v, (k, float(counts_half[k]), v)
 
 
+def test_rescore_blend_operating_point():
+    """Pin the measured blend default (design.md §4.4, VERDICT r4 item 2):
+    w=0.25 in every registry config, and the DIRECTION of the knob — a
+    softer exponent reranks less aggressively than w=1 (top-5 sets stay
+    closer to the match-only ranking, which is what recovers R@5) while
+    still reranking (which is what keeps the R@1 gain)."""
+    from drn_tpu.config import _REGISTRY
+
+    for name, c in _REGISTRY.items():
+        assert c.eval.score_iou_weight == 0.25, name
+
+    cfg = get_config("synthetic_tiny")
+    model = build_model(cfg)
+    state = init_state(cfg, model, make_optimizer(cfg, 1), jax.random.key(0))
+    ds = make_dataset(cfg.data, cfg.model, split="test")
+    batch = next(BatchIterator(ds, cfg.data.batch_size,
+                               shuffle=False).epoch(0))
+    out = model.apply(state.params, batch["features"], batch["word_ids"],
+                      batch["query_mask"])
+    m = np.asarray(jax.nn.sigmoid(out["match_logits"]), np.float64)
+    i = np.asarray(jax.nn.sigmoid(out["iou_logits"]), np.float64)
+
+    def top5(scores):
+        return np.argsort(-scores, axis=1)[:, :5]
+
+    base = top5(m)
+    overlap = {w: np.mean([len(set(a) & set(b))
+                           for a, b in zip(top5(m * i ** w), base)])
+               for w in (0.25, 1.0)}
+    assert overlap[0.25] >= overlap[1.0], overlap   # softer rerank
+    # ... but the default still reranks (top-1 changes somewhere).
+    assert (top5(m * i ** 0.25)[:, 0] != base[:, 0]).any()
+
+
 def test_default_eval_fn_warns_on_corrupt_val(tmp_path, capsys):
     """A PRESENT but unreadable val annotation file must warn loudly, not
     silently disable in-training eval (VERDICT r4 item 6) — and a readable
