@@ -157,6 +157,11 @@ def main(argv=None):
 
     # ---- per-seed: paired untrained control + trained treatment ------
     for seed in range(args.seed_start, args.seeds):
+        # Each in-process train()+evaluate() cycle at flagship width
+        # leaves compiled executables + their constants live; ~8 cycles
+        # once hit 131 GB RSS and the OOM killer (r5). State-resumable
+        # anyway, but don't make the kernel do the cleanup.
+        jax.clear_caches()
         tag_u, tag_t = f"untrained_seed{seed}", f"trained_seed{seed}"
         seed_root = f"{args.workdir}/seed{seed}"
         variant_dir = f"{seed_root}/stage1_variant"

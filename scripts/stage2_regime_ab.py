@@ -119,6 +119,10 @@ def main(argv=None):
     _log(f"stage1 baseline R@1-mean {r1_mean(rows['stage1_plain']):.2f}")
 
     for seed in range(args.seeds):
+        # Drop compiled executables between seeds — repeated in-process
+        # train()+evaluate() cycles leak executables/constants and once
+        # OOM-killed the treatment probe at 131 GB RSS (r5).
+        jax.clear_caches()
         for name, r in REGIMES.items():
             tag = f"{name}_seed{seed}"
             run_root = f"{args.workdir}/{tag}"
