@@ -405,7 +405,8 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
                                                   load_experiment_config)
 
             stale = load_experiment_config(ckpt_dir)
-            if stale is not None and config_parity_diffs(stale, cfg):
+            if stale is not None and config_parity_diffs(
+                    stale, cfg, warn_on_skew=False):
                 print(
                     f"[train] WARNING: {ckpt_dir!r} already contains "
                     f"provenance for a parity-DIFFERENT config "

@@ -152,7 +152,8 @@ def load_experiment_config(directory: str) -> Optional[dict]:
     return None
 
 
-def config_parity_diffs(saved: dict, cfg: Any) -> list:
+def config_parity_diffs(saved: dict, cfg: Any, *,
+                        warn_on_skew: bool = True) -> list:
     """Human-readable list of parity-relevant differences between a
     persisted config dict and the active ExperimentConfig.
 
@@ -160,7 +161,11 @@ def config_parity_diffs(saved: dict, cfg: Any) -> list:
     config has never heard of is additive schema evolution (a new field
     with a default), and treating saved=absent vs active=default as a
     mismatch would brick every pre-upgrade checkpoint (ADVICE r4). Those
-    asymmetric keys get a warning instead — visible, not fatal."""
+    asymmetric keys get a warning instead — visible, not fatal.
+    `warn_on_skew=False` suppresses that warning for callers using this
+    purely as a predicate (e.g. the fresh-run overwrite check, where
+    'cross-version restore' phrasing would mislead — nothing is being
+    restored)."""
     import warnings
 
     active = _jsonable_config(cfg)
@@ -186,7 +191,7 @@ def config_parity_diffs(saved: dict, cfg: Any) -> list:
             diffs.append(
                 f"{section}.{key}: checkpoint={s[key]!r} "
                 f"active={a[key]!r}")
-    if skewed:
+    if skewed and warn_on_skew:
         warnings.warn(
             "checkpoint config schema differs from the active one (fields "
             f"on one side only: {', '.join(sorted(set(skewed)))}); "
@@ -418,10 +423,17 @@ class BestCheckpointTracker:
                 # peer's actual target when one is visible.
                 import glob
 
-                peers = glob.glob(f"{self.directory}.corrupt-*")
-                target = (max(peers, key=os.path.getmtime) if peers
-                          else f"{self.directory}.corrupt-* "
-                               f"(quarantined by a peer process)")
+                # glob.escape: checkpoint dirs can contain glob
+                # metacharacters (pytest's parametrized tmp dirs, '[').
+                peers = glob.glob(glob.escape(str(self.directory))
+                                  + ".corrupt-*")
+                try:
+                    target = max(peers, key=os.path.getmtime)
+                except (ValueError, FileNotFoundError):
+                    # no peers visible, or a peer dir vanished between
+                    # glob and stat — never crash the recovery path.
+                    target = (f"{self.directory}.corrupt-* "
+                              f"(quarantined by a peer process)")
                 break
             except OSError:
                 n += 1  # lost the target to a peer; try the next suffix

@@ -45,7 +45,10 @@ def main():
     base = base.replace(
         data=dataclasses.replace(base.data, dataset="synthetic",
                                  batch_size=args.batch_size),
-        eval=dataclasses.replace(base.eval, batch_size=64),
+        # score_iou_weight pinned to the w=1 reference-exact product the
+        # committed at-scale logs were produced with (pre-w=0.25 default).
+        eval=dataclasses.replace(base.eval, batch_size=64,
+                                 score_iou_weight=1.0),
     )
     ds_train = SyntheticDataset(base.data, base.model, split="train",
                                 num_examples=512)

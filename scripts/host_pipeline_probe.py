@@ -121,7 +121,16 @@ def main(argv=None):
     )
     mcfg = dataclasses.replace(cfg.model, feature_dim=args.dim)
     ds = make_dataset(dcfg, mcfg, split="train")
-    bytes_per_ex = stats["raw_gb"] * 1e9 / stats["examples"]
+    # Two distinct IO rates (an early version conflated them and
+    # underreported reads 4x at 4 queries/video):
+    # - corpus bytes/epoch: unique feature bytes — what the DISK must
+    #   sustain on a cache-cold epoch (consecutive queries of the same
+    #   video hit the page cache even cold).
+    # - touched bytes/example: each example re-reads its whole video's
+    #   features (no per-video cache in the iterators) — the memory/page-
+    #   cache traffic rate.
+    corpus_bytes = stats["raw_gb"] * 1e9
+    touched_per_ex = stats["bytes_per_example"]
 
     results = []
 
@@ -135,7 +144,9 @@ def main(argv=None):
                 "native_reader": env_native != "0",
                 "epoch": "cold" if epoch == 0 else "warm",
                 "examples_per_s": round(n / dt, 1),
-                "read_mb_per_s": round(n * bytes_per_ex / dt / 1e6, 1),
+                "corpus_mb_per_s": round(corpus_bytes / dt / 1e6, 1),
+                "touched_mb_per_s": round(
+                    n * touched_per_ex / dt / 1e6, 1),
                 "examples": n,
                 "seconds": round(dt, 2),
             }
@@ -162,7 +173,9 @@ def main(argv=None):
     print(json.dumps({
         "probe": "host_pipeline",
         "corpus_examples": stats["examples"],
-        "bytes_per_example_mb": round(bytes_per_ex / 1e6, 3),
+        "unique_bytes_per_example_mb": round(
+            stats["raw_gb"] * 1e9 / stats["examples"] / 1e6, 3),
+        "touched_bytes_per_example_mb": round(touched_per_ex / 1e6, 3),
         "best_warm": best,
         "device_qps": args.device_qps,
         "host_to_device_ratio": round(

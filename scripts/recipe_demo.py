@@ -66,6 +66,12 @@ def run_demo(config: str = "synthetic_recipe",
     from drn_tpu.train import train
 
     cfg = get_config(config)
+    # Pin the rescore blend to w=1 (the reference's exact score product):
+    # this demo's committed logs and tests/test_recipe.py's gate were
+    # produced before the config default moved to w=0.25 (design.md
+    # §4.4), and the demonstration is ABOUT the full product's effect.
+    cfg = cfg.replace(eval=dataclasses.replace(cfg.eval,
+                                               score_iou_weight=1.0))
     workdir = workdir or tempfile.mkdtemp(prefix="drn_recipe_")
     t0 = time.time()
 

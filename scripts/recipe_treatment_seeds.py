@@ -119,6 +119,11 @@ def main(argv=None):
     state = _load_state(args.workdir)
     rows = state["rows"]
     cfg = get_config(args.config)
+    # Pin in-training val selection to w=1 (what the committed r5 logs
+    # ran with, pre-w=0.25 default); every summary row passes its own w
+    # to _eval_row explicitly, so the sweep itself is unaffected.
+    cfg = cfg.replace(eval=dataclasses.replace(cfg.eval,
+                                               score_iou_weight=1.0))
     model = build_model(cfg)  # ONE model → eval-step cache reuse across rows
     w_extra = [float(w) for w in args.w_sweep.split(",") if w.strip()]
 

@@ -84,6 +84,11 @@ def main(argv=None):
 
     t0 = time.time()
     cfg = get_config(args.config)
+    # w=1 (reference-exact product): this probe's committed jitter band
+    # predates the w=0.25 default (design.md §4.4) and must stay
+    # regenerable as logged.
+    cfg = cfg.replace(eval=dataclasses.replace(cfg.eval,
+                                               score_iou_weight=1.0))
     params = _best_params(cfg, args.workdir)  # stage-1 best-on-val
 
     # One model + one config per rescore flag so the jitted eval step is

@@ -83,6 +83,11 @@ def main(argv=None):
         os.replace(state_path + ".tmp", state_path)
 
     cfg = get_config(args.config)
+    # w=1 (reference-exact product): the committed regime A/B that set
+    # the stage2_iou_only default (design.md §4.3) ran before the blend
+    # default moved to w=0.25 — keep the A/B regenerable as logged.
+    cfg = cfg.replace(eval=dataclasses.replace(cfg.eval,
+                                               score_iou_weight=1.0))
     model = build_model(cfg)
 
     def best_params(ckpt_dir):

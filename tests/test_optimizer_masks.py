@@ -90,9 +90,24 @@ def test_stage2_defaults_to_iou_only_freeze():
         assert did_move == is_iou, (is_iou, did_move)
 
 
-def test_stage2_joint_cli_overrides_freeze_default():
+def test_stage2_joint_cli_overrides_freeze_default(tmp_path):
+    import json
+
     from drn_tpu.train import main
 
+    # The two flags are mutually exclusive...
     with pytest.raises(SystemExit):
         main(["--config", "synthetic_tiny", "--stage", "2",
               "--stage2-iou-only", "--stage2-joint", "--max-steps", "1"])
+
+    # ...and --stage2-joint actually overrides the freeze default: the
+    # run's persisted provenance must record stage2_iou_only=False (a
+    # regression that makes the flag a no-op would silently train the
+    # freeze when the user asked for joint fine-tuning).
+    ckpt = tmp_path / "ckpt"
+    main(["--config", "synthetic_tiny", "--stage", "2", "--stage2-joint",
+          "--max-steps", "1", "--checkpoint-dir", str(ckpt)])
+    prov = json.loads(
+        (ckpt / "synthetic_tiny" / "stage2" /
+         "experiment_config.json").read_text())
+    assert prov["train"]["stage2_iou_only"] is False

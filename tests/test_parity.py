@@ -70,6 +70,10 @@ def test_end_to_end_ranked_output_parity(fp32_cfg):
         top_k=cfg.eval.top_k,
         nms_iou_threshold=cfg.eval.nms_iou_threshold,
         score_use_iou_head=cfg.eval.score_use_iou_head,
+        # Forward the blend explicitly — the oracle's own default merely
+        # mirrors EvalConfig's, and this test must track cfg, not a
+        # coincidence of two defaults.
+        score_iou_weight=cfg.eval.score_iou_weight,
         ns=cfg.eval.recall_ns, iou_thresholds=cfg.eval.iou_thresholds,
     )
 
