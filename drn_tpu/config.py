@@ -93,6 +93,15 @@ class DataConfig:
     lowercase: bool = True
     batch_size: int = 32
     num_workers: int = 0             # >0 → Grain worker processes for IO
+    # Byte budget (MB, per process) for the FeatureReader's LRU of
+    # resampled per-video grids. Annotations average several queries per
+    # video and eval iterates in file order (grouped by video), so the
+    # cache removes all but the first read+resample per video (measured
+    # host-pipeline numbers in operations.md §6). serve.py reuses the
+    # same budget for its features_path cache. 0 disables. Purely a
+    # host-side performance knob: batch contents are identical either
+    # way (tests/test_data.py pins it).
+    feature_cache_mb: float = 64.0
     shuffle_buffer: int = 2048
     seed: int = 0
     # Synthetic-fixture knobs (dataset="synthetic" only). The recipe-

@@ -68,21 +68,26 @@ class GroundingDataset:
                 f"features={c.feature_dir!r}, ann={c.annotation_path!r}, "
                 f"num_clips={c.num_clips}, n={len(self.examples)})")
 
-    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        ex = self.examples[i]
-        cfg = self.cfg
+    def read_features(self, video_id: str):
+        """Resampled (num_clips, F) grid + raw row count, with the
+        missing-file diagnostic shared by item reads and staging."""
         try:
-            feats, t_raw = self.reader.read_resampled(
-                ex.video_id, cfg.num_clips)
+            return self.reader.read_resampled(video_id, self.cfg.num_clips)
         except (FileNotFoundError, KeyError) as e:
             raise FileNotFoundError(
-                f"annotations reference video {ex.video_id!r} but its "
-                f"features are missing from {cfg.feature_dir!r} ({e}) — "
-                f"check DataConfig.feature_dir / --feature-dir"
+                f"annotations reference video {video_id!r} but its "
+                f"features are missing from {self.cfg.feature_dir!r} ({e}) "
+                f"— check DataConfig.feature_dir / --feature-dir"
             ) from e
-        # Charades-STA annotations carry no duration; estimate from the
-        # feature row count and the configured extraction rate (warns once
-        # when the rate was never configured).
+
+    def annotation_row(self, i: int, t_raw: int) -> Dict[str, np.ndarray]:
+        """The feature-free part of example i (query ids/mask, GT span,
+        duration, valid). `t_raw` backs the Charades duration fallback:
+        those annotations carry no duration, so estimate from the feature
+        row count and the configured extraction rate (warns once when the
+        rate was never configured)."""
+        ex = self.examples[i]
+        cfg = self.cfg
         duration = (ex.duration if ex.duration > 0
                     else float(t_raw) / effective_feature_fps(
                         cfg.feature_fps))
@@ -95,13 +100,18 @@ class GroundingDataset:
         if ge <= gs:
             ge = min(gs + 1e-3, float(cfg.num_clips))
         return {
-            "features": feats,
             "word_ids": ids,
             "query_mask": mask,
             "gt_grid": np.asarray([gs, ge], np.float32),
             "duration": np.float32(duration),
             "valid": np.bool_(True),
         }
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        feats, t_raw = self.read_features(self.examples[i].video_id)
+        row = self.annotation_row(i, t_raw)
+        row["features"] = feats
+        return row
 
 
 def parse_charades_sta(path: str) -> List[Example]:
@@ -182,5 +192,7 @@ def load_dataset(cfg: DataConfig, mcfg: ModelConfig, vocab: Vocab,
         return SyntheticDataset(cfg, mcfg, split=split,
                                 vocab_size=vocab.size if vocab else None)
     examples = parse_examples(cfg, split)
-    return GroundingDataset(cfg, mcfg, vocab, examples,
-                            FeatureReader(cfg.feature_dir))
+    return GroundingDataset(
+        cfg, mcfg, vocab, examples,
+        FeatureReader(cfg.feature_dir,
+                      cache_mb=getattr(cfg, "feature_cache_mb", 0.0)))

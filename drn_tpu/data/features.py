@@ -59,13 +59,93 @@ def resample_features(feats: np.ndarray, num_clips: int) -> np.ndarray:
     return out.astype(np.float32)
 
 
-class FeatureReader:
-    """Reads per-video features from a .npy directory or an .h5/.hdf5 file."""
+class ResampledLru:
+    """Byte-bounded, thread-safe LRU of resampled grids: key → (read-only
+    (num_clips, F) float32 array, raw clip count).
 
-    def __init__(self, feature_dir: str):
+    Exists because every annotation references a whole video and datasets
+    average several queries per video (Charades ~4, TACoS tens), so
+    consecutive examples re-read and re-resample the same file. Cached
+    arrays are marked read-only and shared between hits; batch assembly
+    copies them via np.stack. budget_mb <= 0 disables (get misses, put
+    drops)."""
+
+    def __init__(self, budget_mb: float):
+        import threading
+        from collections import OrderedDict
+
+        self.budget_mb = float(budget_mb)
+        self._entries = OrderedDict()
+        self._bytes = 0
+        # serve.py and multi-threaded hosts share one cache; the lock
+        # covers only dict bookkeeping (reads/resamples run outside it).
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        if self.budget_mb <= 0.0:
+            return None
+        with self._lock:
+            hit = self._entries.get(key)
+            if hit is None:
+                self.misses += 1
+                return None
+            self._entries.move_to_end(key)
+            self.hits += 1
+            return hit
+
+    def put(self, key, feats: np.ndarray, t_raw: int):
+        if self.budget_mb <= 0.0 or feats.nbytes > self.budget_mb * 1e6:
+            return
+        feats.flags.writeable = False
+        with self._lock:
+            if key in self._entries:
+                return
+            self._entries[key] = (feats, t_raw)
+            self._bytes += feats.nbytes
+            while self._bytes > self.budget_mb * 1e6:
+                _, (old, _t) = self._entries.popitem(last=False)
+                self._bytes -= old.nbytes
+
+
+class FeatureReader:
+    """Reads per-video features from a .npy directory or an .h5/.hdf5 file.
+
+    `cache_mb` > 0 keeps a ResampledLru keyed by (video_id, num_clips).
+    Annotation files group queries by video and eval iterates in file
+    order, so even a small cache turns all but the first read per video
+    into a dict hit (training shuffles, where hits are incidental — the
+    cache is a bounded win, never a correctness change)."""
+
+    def __init__(self, feature_dir: str, cache_mb: float = 0.0):
         self.feature_dir = feature_dir
+        self.cache_mb = float(cache_mb)
         self._h5 = None
         self._is_h5 = feature_dir.endswith((".h5", ".hdf5"))
+        self._cache = ResampledLru(self.cache_mb)
+
+    @property
+    def cache_hits(self):
+        return self._cache.hits
+
+    @property
+    def cache_misses(self):
+        return self._cache.misses
+
+    def __getstate__(self):
+        # Grain pickles the data source into each worker process: locks
+        # and h5 handles don't pickle, and a shared cache wouldn't be
+        # shared anyway — workers start with their own empty cache.
+        d = self.__dict__.copy()
+        for k in ("_cache", "_h5"):
+            d.pop(k, None)
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._h5 = None
+        self._cache = ResampledLru(self.cache_mb)
 
     def _h5_file(self):
         if self._h5 is None:
@@ -119,7 +199,19 @@ class FeatureReader:
         """→ ((num_clips, F) float32, raw clip count). For .npy files the
         read+resample runs in one native pass (drn_tpu.native, mmap'd —
         the raw array is never materialized); falls back to NumPy for HDF5
-        or when the toolchain/format is unsupported."""
+        or when the toolchain/format is unsupported. LRU-cached per video
+        when cache_mb > 0 (the returned array is then read-only and
+        shared — do not mutate in place)."""
+        key = (video_id, num_clips)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        feats, t_raw = self._read_resampled_uncached(video_id, num_clips)
+        self._cache.put(key, feats, t_raw)
+        return feats, t_raw
+
+    def _read_resampled_uncached(self, video_id: str, num_clips: int
+                                 ) -> tuple[np.ndarray, int]:
         if not self._is_h5:
             path = os.path.join(self.feature_dir, f"{video_id}.npy")
             if not os.path.exists(path):

@@ -73,13 +73,21 @@ def make_eval_step(cfg: ExperimentConfig, model: DRN,
     fsh = feature_sharding(mesh) if mesh is not None else None
 
     @jax.jit
-    def eval_step(params, batch):
+    def eval_step(params, batch, table=None):
         if bsh is not None:
             batch = jax.lax.with_sharding_constraint(
                 batch, {k: (fsh if k == "features" else bsh) for k in batch}
             )
+        if "features" in batch:
+            feats = batch["features"]
+        else:
+            # Device-resident feature store (data/staging.py): gather the
+            # batch's grids from the staged (V, T, F) table in HBM.
+            feats = table[batch["video_row"]]
+            if fsh is not None:
+                feats = jax.lax.with_sharding_constraint(feats, fsh)
         out = model.apply(
-            params, batch["features"], batch["word_ids"], batch["query_mask"]
+            params, feats, batch["word_ids"], batch["query_mask"]
         )
         score = jax.nn.sigmoid(out["match_logits"])
         if e.score_use_iou_head and e.score_iou_weight > 0.0:
@@ -162,9 +170,37 @@ def _device_batches(batches, bsh, multiproc: bool):
 
 
 def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
-             split: str = "test", mesh: Optional[Mesh] = None
-             ) -> Dict[str, float]:
-    """Full-split evaluation → {"R@n,IoU=m": percentage}."""
+             split: str = "test", mesh: Optional[Mesh] = None,
+             device_features: bool = False) -> Dict[str, float]:
+    """Full-split evaluation → {"R@n,IoU=m": percentage}.
+
+    `device_features` stages each unique video's resampled grid into one
+    device-resident table before the loop (data/staging.py): the host
+    then feeds only word ids + row indices, so eval is no longer bound
+    by per-example feature reads — the honest-end-to-end answer to the
+    host-pipeline gap measured in operations.md §6. Metrics are
+    bit-identical to the streaming path (tests/test_staging.py)."""
+    table_dev = None
+    if device_features:
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            raise NotImplementedError(
+                "device_features stages one process-local table; "
+                "multi-process eval shards examples per process, so each "
+                "process would need its own staging pass keyed to its "
+                "shard — use the streaming path on multi-host meshes")
+        from drn_tpu.data.staging import stage_video_features
+
+        if dataset is None:
+            dataset = make_dataset(cfg.data, cfg.model, split=split)
+        table, dataset = stage_video_features(dataset)
+        if mesh is not None:
+            from drn_tpu.parallel import replicate
+
+            table_dev = jax.device_put(table, replicate(mesh))
+        else:
+            table_dev = jnp.asarray(table)
     if dataset is None:
         dataset = make_dataset(cfg.data, cfg.model, split=split)
     batches = make_batch_iterator(
@@ -211,7 +247,9 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
                     step, params, jb, name="drn_eval_step_compiled"
                 )
             exec_step = cache[key]
-        counts, n_valid, *_ = exec_step(params, jb)
+        counts, n_valid, *_ = (
+            exec_step(params, jb, table_dev) if table_dev is not None
+            else exec_step(params, jb))
         if totals_dev is None:
             totals_dev, n_total_dev = counts, n_valid
         else:
@@ -287,6 +325,13 @@ def main(argv=None):
     p.add_argument("--allow-config-mismatch", action="store_true",
                    help="downgrade the checkpoint-vs-active config parity "
                         "check to a warning")
+    p.add_argument("--device-features", action="store_true",
+                   help="stage each unique video's resampled features "
+                        "into one device-resident table before the eval "
+                        "loop (V*num_clips*F*4 bytes of HBM) — removes "
+                        "the per-example host feature reads that "
+                        "otherwise bound end-to-end eval "
+                        "(operations.md §6)")
     args = p.parse_args(argv)
     if not args.checkpoint_dir and not args.torch_checkpoint:
         p.error("one of --checkpoint-dir / --torch-checkpoint is required")
@@ -340,7 +385,8 @@ def main(argv=None):
     dataset = make_dataset(cfg.data, cfg.model, vocab=vocab,
                            split=args.split)
     results = evaluate(cfg, model, params, dataset=dataset,
-                       split=args.split)
+                       split=args.split,
+                       device_features=args.device_features)
     log = MetricLogger(f"eval/{cfg.name}")
     log.log(0, results)
     for k, v in results.items():

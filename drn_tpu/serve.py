@@ -39,9 +39,16 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from drn_tpu.config import ExperimentConfig, get_config
-from drn_tpu.data.features import (effective_feature_fps,
+from drn_tpu.data.features import (ResampledLru, effective_feature_fps,
                                    resample_features)
 from drn_tpu.data.vocab import Vocab, tokenize
+
+
+def _check_feature_shape(raw: np.ndarray, feature_dim: int) -> None:
+    if raw.ndim != 2 or raw.shape[1] != feature_dim:
+        raise ValueError(
+            f"features must be (T_raw, {feature_dim}); got {raw.shape}"
+        )
 
 
 class _Request:
@@ -83,6 +90,12 @@ class GroundingService:
         self.batch_size = cfg.eval.batch_size
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        # Repeated requests against the same server-side feature file
+        # (many queries over one video — the grounding access pattern)
+        # skip the np.load + resample; keyed by (path, mtime, size) so an
+        # overwritten file is never served stale.
+        self._feat_cache = ResampledLru(
+            getattr(cfg.data, "feature_cache_mb", 0.0))
         # Wakes the batcher's gather window early when the batch fills
         # mid-window (VERDICT r4 item 5: an unconditional sleep made
         # every batch that filled mid-window pay the full --max-wait-ms).
@@ -104,20 +117,28 @@ class GroundingService:
                     "features_path must be inside the configured "
                     "features root"
                 )
-            raw = np.load(path).astype(np.float32)
+            st = os.stat(path)
+            key = (path, d.num_clips, st.st_mtime_ns, st.st_size)
+            hit = self._feat_cache.get(key)
+            if hit is not None:
+                feats, t_raw = hit
+            else:
+                raw = np.load(path).astype(np.float32)
+                _check_feature_shape(raw, m.feature_dim)
+                feats = resample_features(raw, d.num_clips)
+                t_raw = raw.shape[0]
+                self._feat_cache.put(key, feats, t_raw)
         else:
             raw = np.asarray(payload["features"], np.float32)
-        if raw.ndim != 2 or raw.shape[1] != m.feature_dim:
-            raise ValueError(
-                f"features must be (T_raw, {m.feature_dim}); got {raw.shape}"
-            )
-        feats = resample_features(raw, d.num_clips)
+            _check_feature_shape(raw, m.feature_dim)
+            feats = resample_features(raw, d.num_clips)
+            t_raw = raw.shape[0]
         ids, mask = self.vocab.encode(
             tokenize(str(payload["query"]), d.lowercase), d.max_query_len
         )
         duration = float(payload.get("duration", 0.0))
         if duration <= 0.0:
-            duration = raw.shape[0] / effective_feature_fps(d.feature_fps)
+            duration = t_raw / effective_feature_fps(d.feature_fps)
         return _Request(feats, ids, mask, duration)
 
     def submit(self, req: _Request, timeout_s: float = 60.0

@@ -150,16 +150,27 @@ def make_train_step(cfg: ExperimentConfig, model: DRN, mesh: Optional[Mesh]):
     bsh = batch_sharding(mesh) if mesh is not None else None
     fsh = feature_sharding(mesh) if mesh is not None else None
 
-    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                table=None
                 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         if bsh is not None:
             batch = jax.lax.with_sharding_constraint(
                 batch, {k: (fsh if k == "features" else bsh) for k in batch}
             )
+        if "features" in batch:
+            feats = batch["features"]
+        else:
+            # Device-resident feature store (data/staging.py): the epoch
+            # loop re-reads nothing from disk — grids gather from the
+            # staged table in HBM. No gradient flows into the table
+            # (features are inputs), so training semantics are untouched.
+            feats = table[batch["video_row"]]
+            if fsh is not None:
+                feats = jax.lax.with_sharding_constraint(feats, fsh)
 
         def loss_fn(params):
             out = model.apply(
-                params, batch["features"], batch["word_ids"],
+                params, feats, batch["word_ids"],
                 batch["query_mask"],
             )
             return drn_loss(
@@ -322,7 +333,8 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
           eval_fn=None,
           preemption_guard: Optional[PreemptionGuard] = None,
           allow_config_mismatch: bool = False,
-          run_info: Optional[dict] = None) -> TrainState:
+          run_info: Optional[dict] = None,
+          device_features: bool = False) -> TrainState:
     """Full training run; returns final state (host-side orchestration only).
 
     SIGTERM (cluster preemption notice) stops the loop at the next step
@@ -336,6 +348,26 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
                        tensorboard_dir=cfg.train.tensorboard_dir)
     vocab = build_vocab(cfg.data, cfg.model)
     dataset = make_dataset(cfg.data, cfg.model, vocab=vocab, split="train")
+    feature_table = None  # host copy; device placement after shard_state
+    if device_features:
+        # Stage each unique video's grid once; every epoch after reads
+        # nothing from disk (data/staging.py — the answer to the measured
+        # host-pipeline bound, operations.md §6). Shuffled epochs
+        # especially profit: random order has no read locality for the
+        # per-video LRU, but a staged table doesn't care about order.
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "device_features stages one process-local table; Grain "
+                "shards examples per process, so each process would need "
+                "a shard-keyed staging pass — use the streaming path on "
+                "multi-host runs")
+        if cfg.data.dataset == "synthetic":
+            raise ValueError(
+                "device_features reads per-video feature files; the "
+                "synthetic fixture generates features in memory")
+        from drn_tpu.data.staging import stage_video_features
+
+        feature_table, dataset = stage_video_features(dataset)
     batches = make_batch_iterator(
         dataset, cfg.data, shuffle=True, seed=cfg.train.seed
     )
@@ -420,6 +452,11 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
 
     if mesh is not None:
         state = shard_state(state, mesh)
+    table_dev = None
+    if feature_table is not None:
+        table_dev = (jax.device_put(feature_table, replicate(mesh))
+                     if mesh is not None else jnp.asarray(feature_table))
+        del feature_table  # one device copy; drop the host one
     train_step = make_train_step(cfg, model, mesh)
     # Multi-process: AOT-compile on the first batch, rendezvous through
     # the coordination service, then execute the compiled object (shapes
@@ -491,7 +528,10 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
                 compiled_step = aot_compile_synced(
                     train_step, state, pb, name="drn_train_step_compiled"
                 )
-            state, metrics = (compiled_step or train_step)(state, pb)
+            if table_dev is not None:  # staged: single-process by check
+                state, metrics = train_step(state, pb, table_dev)
+            else:
+                state, metrics = (compiled_step or train_step)(state, pb)
             step += 1
             if step % cfg.train.log_every_steps == 0 or step == 1:
                 log.log(step, {"epoch": epoch, **jax.device_get(metrics)})
@@ -610,6 +650,12 @@ def main(argv=None):
                         "would crash on or silently mis-scale")
     p.add_argument("--preflight-sample", type=int, default=200,
                    help="feature files sampled by --preflight")
+    p.add_argument("--device-features", action="store_true",
+                   help="stage each unique video's resampled features "
+                        "into one device-resident table before training "
+                        "(V*num_clips*F*4 bytes of HBM) — epochs then "
+                        "read nothing from disk (operations.md §6; "
+                        "single-process runs only)")
     args = p.parse_args(argv)
 
     from drn_tpu.utils import enable_jit_cache
@@ -698,7 +744,8 @@ def main(argv=None):
     guard = PreemptionGuard().install()
     train(cfg, mesh=mesh, init_from=args.init_from, max_steps=args.max_steps,
           preemption_guard=guard,
-          allow_config_mismatch=args.allow_config_mismatch)
+          allow_config_mismatch=args.allow_config_mismatch,
+          device_features=args.device_features)
     guard.uninstall()
     if guard.triggered:
         # EX_TEMPFAIL: the checkpoint is saved; a restart loop should

@@ -120,21 +120,26 @@ def main(argv=None):
         batch_size=args.batch_size,
     )
     mcfg = dataclasses.replace(cfg.model, feature_dim=args.dim)
-    ds = make_dataset(dcfg, mcfg, split="train")
+    ds = make_dataset(dcfg, mcfg, split="train")  # default per-video cache
+    ds_nocache = make_dataset(
+        dataclasses.replace(dcfg, feature_cache_mb=0.0), mcfg,
+        split="train")
     # Two distinct IO rates (an early version conflated them and
     # underreported reads 4x at 4 queries/video):
     # - corpus bytes/epoch: unique feature bytes — what the DISK must
     #   sustain on a cache-cold epoch (consecutive queries of the same
     #   video hit the page cache even cold).
-    # - touched bytes/example: each example re-reads its whole video's
-    #   features (no per-video cache in the iterators) — the memory/page-
-    #   cache traffic rate.
+    # - touched bytes/example: at cache=0 each example re-reads its whole
+    #   video's features — the memory/page-cache traffic rate. With the
+    #   per-video LRU (feature_cache_mb, the default) repeat queries skip
+    #   the read entirely, so touched_mb_per_s overstates actual traffic
+    #   by the hit rate on those rows.
     corpus_bytes = stats["raw_gb"] * 1e9
     touched_per_ex = stats["bytes_per_example"]
 
     results = []
 
-    def measure(tag, make_it, env_native):
+    def measure(tag, make_it, env_native, cache_mb):
         os.environ["DRN_NATIVE_READER"] = env_native
         it = make_it()
         for epoch in (0, 1):
@@ -142,6 +147,7 @@ def main(argv=None):
             row = {
                 "pipeline": tag,
                 "native_reader": env_native != "0",
+                "feature_cache_mb": cache_mb,
                 "epoch": "cold" if epoch == 0 else "warm",
                 "examples_per_s": round(n / dt, 1),
                 "corpus_mb_per_s": round(corpus_bytes / dt / 1e6, 1),
@@ -154,19 +160,30 @@ def main(argv=None):
             print(json.dumps(row), flush=True)
         os.environ["DRN_NATIVE_READER"] = "1"
 
+    cache_mb = dcfg.feature_cache_mb
+    # cache=0 rows reproduce the pre-cache committed baseline
+    # (logs/host_pipeline_r5.log); cache-default rows are what a user of
+    # the shipped config gets. Grain workers each hold their own cache
+    # (the reader re-inits it on pickle) and the round-robin index split
+    # interleaves a video's queries across workers, so their hit rate is
+    # structurally lower than in-process — measured, not assumed.
     measure("BatchIterator", lambda: BatchIterator(
-        ds, args.batch_size, shuffle=False), "1")
+        ds_nocache, args.batch_size, shuffle=False), "1", 0.0)
     measure("BatchIterator", lambda: BatchIterator(
-        ds, args.batch_size, shuffle=False), "0")
+        ds, args.batch_size, shuffle=False), "1", cache_mb)
+    measure("BatchIterator", lambda: BatchIterator(
+        ds_nocache, args.batch_size, shuffle=False), "0", 0.0)
+    measure("BatchIterator", lambda: BatchIterator(
+        ds, args.batch_size, shuffle=False), "0", cache_mb)
     for w in (int(x) for x in args.workers.split(",")):
         measure(f"GrainBatchIterator(workers={w})", lambda w=w:
                 GrainBatchIterator(ds, args.batch_size, shuffle=False,
-                                   worker_count=w), "1")
+                                   worker_count=w), "1", cache_mb)
     # NumPy fallback at the best worker count for the fallback guidance
     w_max = max(int(x) for x in args.workers.split(","))
     measure(f"GrainBatchIterator(workers={w_max})", lambda:
             GrainBatchIterator(ds, args.batch_size, shuffle=False,
-                               worker_count=w_max), "0")
+                               worker_count=w_max), "0", cache_mb)
 
     warm = [r for r in results if r["epoch"] == "warm"]
     best = max(warm, key=lambda r: r["examples_per_s"])

@@ -153,6 +153,109 @@ def test_missing_feature_file_names_video_and_dir(tmp_path):
     assert "GHOST" in msg and str(tmp_path) in msg
 
 
+def _cache_corpus(tmp_path, n_videos=3, rows=24, dim=8):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for v in range(n_videos):
+        np.save(tmp_path / f"V{v}.npy",
+                rng.normal(size=(rows, dim)).astype(np.float32))
+
+
+def test_feature_cache_identity_and_hits(tmp_path):
+    """Cached reads return the same data as uncached ones, repeat reads
+    are dict hits returning the read-only shared array, and cache=0
+    disables everything (the pre-cache behavior)."""
+    from drn_tpu.data.features import FeatureReader
+
+    _cache_corpus(tmp_path)
+    plain = FeatureReader(str(tmp_path))
+    cached = FeatureReader(str(tmp_path), cache_mb=8.0)
+
+    f0, t0 = plain.read_resampled("V0", 16)
+    c0, ct0 = cached.read_resampled("V0", 16)
+    np.testing.assert_array_equal(f0, c0)
+    assert t0 == ct0 == 24
+    assert not c0.flags.writeable and f0.flags.writeable
+
+    c0b, _ = cached.read_resampled("V0", 16)
+    assert c0b is c0  # identity ⇒ the hit skipped read+resample
+    # a different grid is a different key, not a stale hit
+    c0_8, _ = cached.read_resampled("V0", 8)
+    assert c0_8.shape[0] == 8
+    assert cached.cache_hits == 1 and cached.cache_misses == 2
+
+    assert plain.cache_mb == 0.0
+    p0b, _ = plain.read_resampled("V0", 16)
+    assert p0b is not f0 and plain.cache_hits == 0
+
+
+def test_feature_cache_byte_budget_evicts_lru(tmp_path):
+    from drn_tpu.data.features import FeatureReader
+
+    _cache_corpus(tmp_path, n_videos=3, rows=24, dim=8)
+    # one (16, 8) fp32 grid = 512 B; budget fits exactly two entries
+    r = FeatureReader(str(tmp_path), cache_mb=1100 / 1e6)
+    a, _ = r.read_resampled("V0", 16)
+    r.read_resampled("V1", 16)
+    r.read_resampled("V0", 16)  # refresh V0 → V1 is now LRU
+    r.read_resampled("V2", 16)  # evicts V1
+    assert r._cache._bytes <= 1100
+    a2, _ = r.read_resampled("V0", 16)
+    assert a2 is a  # V0 survived
+    before = r.cache_misses
+    r.read_resampled("V1", 16)  # V1 was evicted → miss
+    assert r.cache_misses == before + 1
+
+
+def test_feature_cache_pickles_to_fresh_empty_cache(tmp_path):
+    """Grain pickles the data source into worker processes: the lock and
+    cache must not travel, and the clone must still read correctly."""
+    import pickle
+
+    from drn_tpu.data.features import FeatureReader
+
+    _cache_corpus(tmp_path)
+    r = FeatureReader(str(tmp_path), cache_mb=8.0)
+    orig, _ = r.read_resampled("V1", 16)
+    clone = pickle.loads(pickle.dumps(r))
+    assert clone.cache_mb == 8.0 and clone.cache_hits == 0
+    got, _ = clone.read_resampled("V1", 16)
+    assert got is not orig
+    np.testing.assert_array_equal(got, orig)
+
+
+def test_feature_cache_batches_bit_identical(tmp_path):
+    """End-to-end: an epoch drained through the cached default equals the
+    cache=0 epoch bit-for-bit (the knob is host-perf-only)."""
+    import dataclasses
+
+    cfg = get_config("synthetic_tiny")
+    ann = tmp_path / "charades_sta_train.txt"
+    ann.write_text("".join(
+        f"V{v} {s}.0 {s + 3}.0##query {v} {s}\n"
+        for v in range(3) for s in range(2)))
+    _cache_corpus(tmp_path, n_videos=3, rows=24,
+                  dim=cfg.model.feature_dim)
+    base = dataclasses.replace(
+        cfg.data, dataset="charades", annotation_path=str(ann),
+        feature_dir=str(tmp_path), batch_size=4, feature_fps=1.0)
+    for cache_mb in (64.0, 0.0):
+        d = dataclasses.replace(base, feature_cache_mb=cache_mb)
+        ds = make_dataset(d, cfg.model)
+        assert ds.reader.cache_mb == cache_mb
+        batches = list(BatchIterator(ds, 4, shuffle=False).epoch(0))
+        if cache_mb:
+            cached_batches = batches
+            assert ds.reader.cache_hits > 0
+        else:
+            assert ds.reader.cache_hits == 0
+    assert len(cached_batches) == len(batches)
+    for a, b in zip(cached_batches, batches):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_effective_feature_fps_guard():
     """Unset feature_fps (0.0) assumes 1.0 with ONE warning; an explicit
     rate — even 1.0 — is silent (VERDICT r2: silent-wrong-seconds must be

@@ -186,6 +186,38 @@ def test_features_root_restricts_paths(server, tmp_path):
         svc.prepare({"query": "x", "features_path": str(traversal)})
 
 
+def test_features_path_cache_hits_and_stale_invalidation(tmp_path):
+    """Repeat requests for one server-side file share the cached resampled
+    grid; overwriting the file changes the (mtime,size) key, so the cache
+    can never serve stale features."""
+    from drn_tpu.data.features import resample_features
+    from drn_tpu.data.vocab import Vocab
+    from drn_tpu.serve import GroundingService
+
+    cfg = get_config("synthetic_tiny")
+    svc = GroundingService(cfg, None, None,
+                           Vocab.hashed(cfg.model.vocab_size))
+    path = tmp_path / "vid.npy"
+    rng = np.random.default_rng(9)
+    np.save(path, rng.normal(size=(50, cfg.model.feature_dim))
+            .astype(np.float32))
+    r1 = svc.prepare({"query": "a", "features_path": str(path),
+                      "duration": 25.0})
+    r2 = svc.prepare({"query": "b", "features_path": str(path),
+                      "duration": 25.0})
+    assert r2.features is r1.features  # identity ⇒ load+resample skipped
+    assert svc._feat_cache.hits == 1 and not r1.features.flags.writeable
+
+    arr2 = rng.normal(size=(60, cfg.model.feature_dim)).astype(np.float32)
+    np.save(path, arr2)
+    r3 = svc.prepare({"query": "c", "features_path": str(path),
+                      "duration": 25.0})
+    assert r3.features is not r1.features
+    np.testing.assert_allclose(
+        r3.features, resample_features(arr2, cfg.data.num_clips),
+        rtol=1e-6)
+
+
 def test_serve_cli_guards(tmp_path):
     """CLI: non-loopback bind without --features-root refuses to start;
     both checkpoint sources refuse to start."""
