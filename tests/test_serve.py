@@ -218,6 +218,56 @@ def test_features_path_cache_hits_and_stale_invalidation(tmp_path):
         rtol=1e-6)
 
 
+def test_staged_corpus_video_id_requests(tmp_path):
+    """--stage-corpus: video_id requests resolve from RAM with zero
+    request-path file IO; unknown ids and path-shaped ids are 400-class
+    errors; without staging, video_id falls back to a per-file read."""
+    from drn_tpu.data.features import resample_features
+    from drn_tpu.data.vocab import Vocab
+    from drn_tpu.serve import GroundingService
+
+    cfg = get_config("synthetic_tiny")
+    root = tmp_path / "corpus"
+    root.mkdir()
+    rng = np.random.default_rng(3)
+    raws = {}
+    for vid in ("VA", "VB"):
+        raws[vid] = rng.normal(size=(40, cfg.model.feature_dim)) \
+            .astype(np.float32)
+        np.save(root / f"{vid}.npy", raws[vid])
+
+    vocab = Vocab.hashed(cfg.model.vocab_size)
+    svc = GroundingService(cfg, None, None, vocab,
+                           features_root=str(root), stage_corpus=True)
+    assert len(svc._corpus) == 2
+
+    (root / "VA.npy").unlink()  # staged requests must not touch disk
+    r = svc.prepare({"query": "q", "video_id": "VA", "duration": 20.0})
+    # atol: staging reads through the NATIVE resampler, which differs
+    # from the NumPy oracle by float-rounding (~2e-7) near zero.
+    np.testing.assert_allclose(
+        r.features, resample_features(raws["VA"], cfg.data.num_clips),
+        rtol=1e-6, atol=1e-5)
+    # duration fallback uses the staged t_raw
+    r2 = svc.prepare({"query": "q", "video_id": "VB"})
+    assert r2.duration == 40.0  # t_raw / feature_fps(=1.0 assumed)
+
+    with pytest.raises(ValueError, match="not in the staged corpus"):
+        svc.prepare({"query": "q", "video_id": "GHOST"})
+    with pytest.raises(ValueError, match="bare id"):
+        svc.prepare({"query": "q", "video_id": "../secret"})
+
+    # unstaged service: video_id falls back to the per-file LRU path
+    svc2 = GroundingService(cfg, None, None, vocab,
+                            features_root=str(root))
+    r3 = svc2.prepare({"query": "q", "video_id": "VB", "duration": 5.0})
+    np.testing.assert_allclose(
+        r3.features, resample_features(raws["VB"], cfg.data.num_clips),
+        rtol=1e-6)
+    with pytest.raises(ValueError, match="features-root"):
+        GroundingService(cfg, None, None, vocab, stage_corpus=True)
+
+
 def test_serve_cli_guards(tmp_path):
     """CLI: non-loopback bind without --features-root refuses to start;
     both checkpoint sources refuse to start."""
