@@ -46,18 +46,21 @@ def _client_loop(url, payload_bytes, stop, lats, errs):
 
 
 def run_load(service, url, cfg, concurrency: int, seconds: float,
-             feature_paths=None):
-    """`feature_paths`: pre-saved server-side .npy files — the payloads
-    are then tiny, so the probe measures the serving machinery (queue,
-    batcher, compiled step) rather than multi-MB JSON parses (a 48×4096
-    C3D feature array is ~4 MB of JSON text per request)."""
+             refs=None):
+    """`refs=(key, values)`: payloads reference server-side features —
+    ("features_path", [paths]) for per-file reads or ("video_id", [ids])
+    for the staged corpus — so the payloads are tiny and the probe
+    measures the serving machinery (queue, batcher, compiled step)
+    rather than multi-MB JSON parses (a 48×4096 C3D feature array is
+    ~4 MB of JSON text per request)."""
     payloads = []
     rng = np.random.default_rng(0)
     for i in range(concurrency):
         body = {"query": f"the person number {i} opens the door",
                 "duration": 24.0}
-        if feature_paths is not None:
-            body["features_path"] = feature_paths[i % len(feature_paths)]
+        if refs is not None:
+            key, values = refs
+            body[key] = values[i % len(values)]
         else:
             body["features"] = rng.normal(
                 size=(48, cfg.model.feature_dim)).astype(float).tolist()
@@ -109,6 +112,10 @@ def main(argv=None):
                         "files instead of shipping features as JSON "
                         "(isolates the serving machinery from payload "
                         "parse time)")
+    p.add_argument("--video-id-mode", action="store_true",
+                   help="clients send video_id against a --stage-corpus "
+                        "server (zero request-path file IO — the fastest "
+                        "reference mode)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (skip the TPU relay)")
     args = p.parse_args(argv)
@@ -123,22 +130,28 @@ def main(argv=None):
                                make_handler)
 
     cfg = get_config(args.config)
-    feature_paths = None
-    if args.features_path_mode:
+    refs = None
+    corpus_dir = None
+    if args.features_path_mode or args.video_id_mode:
         import tempfile
 
-        d = tempfile.mkdtemp(prefix="drn_serve_probe_")
+        corpus_dir = tempfile.mkdtemp(prefix="drn_serve_probe_")
         rng = np.random.default_rng(1)
-        feature_paths = []
+        names, paths = [], []
         for i in range(8):
-            path = os.path.join(d, f"vid{i}.npy")
+            path = os.path.join(corpus_dir, f"vid{i}.npy")
             np.save(path, rng.normal(
                 size=(48, cfg.model.feature_dim)).astype(np.float32))
-            feature_paths.append(path)
+            names.append(f"vid{i}")
+            paths.append(path)
+        refs = (("video_id", names) if args.video_id_mode
+                else ("features_path", paths))
     rows = []
     for wait in args.max_wait_ms:
         service = build_service(cfg, batch_size=args.batch_size,
-                                max_wait_ms=wait)
+                                max_wait_ms=wait,
+                                features_root=corpus_dir,
+                                stage_corpus=args.video_id_mode)
         service.start()  # warms the compile before traffic
         httpd = GroundingHTTPServer(("127.0.0.1", 0), make_handler(service))
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -151,7 +164,7 @@ def main(argv=None):
               f"bare step={step_ms:.1f} ms", flush=True)
         for conc in args.concurrency:
             r = run_load(service, url, cfg, conc, args.seconds,
-                         feature_paths=feature_paths)
+                         refs=refs)
             if r is None:
                 continue
             r.update({"max_wait_ms": wait, "batch": service.batch_size,
