@@ -79,14 +79,26 @@ def test_train_then_evaluate_cli(charades_fixture, tmp_path, capsys):
             "--checkpoint-dir", str(ckpt_dir / "charades_cli_test/stage1"),
             "--split", "test",
         ])
+        out_streaming = capsys.readouterr().out
+        # --device-features: same checkpoint, staged feature table —
+        # identical metric lines (the flag is host-perf-only).
+        evaluate.main([
+            "--config", "charades_cli_test",
+            "--annotation-path", str(root / "charades_sta_{split}.txt"),
+            "--feature-dir", str(feat_dir),
+            "--checkpoint-dir", str(ckpt_dir / "charades_cli_test/stage1"),
+            "--split", "test", "--device-features",
+        ])
+        out_staged = capsys.readouterr().out
     finally:
         config_mod._REGISTRY.pop("charades_cli_test", None)
-    out = capsys.readouterr().out
     # one "R@n,IoU=m: pct" line per (n, m) pair
-    pairs = re.findall(r"R@(\d),IoU=([\d.]+): ([\d.]+)", out)
+    pairs = re.findall(r"R@(\d),IoU=([\d.]+): ([\d.]+)", out_streaming)
     assert len(pairs) == 6
     for _, _, pct in pairs:
         assert 0.0 <= float(pct) <= 100.0
+    assert (re.findall(r"R@.*", out_staged)
+            == re.findall(r"R@.*", out_streaming))
 
 
 @pytest.mark.slow
