@@ -189,7 +189,15 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
                 "device_features stages one process-local table; "
                 "multi-process eval shards examples per process, so each "
                 "process would need its own staging pass keyed to its "
-                "shard — use the streaming path on multi-host meshes")
+                "shard. On multi-host meshes use the streaming path with "
+                "data.feature_cache_mb sized to the corpus — each "
+                "process then reads its shard's videos once and serves "
+                "repeats from host RAM (the same IO win, minus the HBM "
+                "gather)")
+        if cfg.data.dataset == "synthetic":
+            raise ValueError(
+                "device_features reads per-video feature files; the "
+                "synthetic fixture generates features in memory")
         from drn_tpu.data.staging import stage_video_features
 
         if dataset is None:
@@ -201,6 +209,7 @@ def evaluate(cfg: ExperimentConfig, model: DRN, params, dataset=None,
             table_dev = jax.device_put(table, replicate(mesh))
         else:
             table_dev = jnp.asarray(table)
+        del table  # one device copy; drop the ~GB host one (train.py does too)
     if dataset is None:
         dataset = make_dataset(cfg.data, cfg.model, split=split)
     batches = make_batch_iterator(

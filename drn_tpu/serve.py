@@ -47,10 +47,11 @@ from drn_tpu.data.features import (ResampledLru, effective_feature_fps,
 from drn_tpu.data.vocab import Vocab, tokenize
 
 
-def _check_feature_shape(raw: np.ndarray, feature_dim: int) -> None:
+def _check_feature_shape(raw: np.ndarray, feature_dim: int,
+                         what: str = "features") -> None:
     if raw.ndim != 2 or raw.shape[1] != feature_dim:
         raise ValueError(
-            f"features must be (T_raw, {feature_dim}); got {raw.shape}"
+            f"{what} must be (T_raw, {feature_dim}); got {raw.shape}"
         )
 
 
@@ -119,6 +120,12 @@ class GroundingService:
             for vid in names:
                 feats, t_raw = reader.read_resampled(
                     vid, self.cfg.data.num_clips)
+                # Same dim check every other input path gets — a stray
+                # wrong-width file must fail HERE at startup, not poison
+                # whole batches (broadcast error → 500s for co-batched
+                # clients) the first time its video_id is requested.
+                _check_feature_shape(feats, cfg.model.feature_dim,
+                                     what=f"{vid}.npy")
                 feats.flags.writeable = False
                 self._corpus[vid] = (feats, t_raw)
                 nbytes += feats.nbytes
@@ -150,10 +157,18 @@ class GroundingService:
                     raise ValueError(
                         "video_id requests require --features-root")
                 # No staged corpus: resolve to a per-file read below
-                # (shares the mtime-keyed LRU with features_path).
+                # (shares the mtime-keyed LRU with features_path). An
+                # unknown id is a CLIENT error — check existence here so
+                # it surfaces as the same 400 the staged path gives,
+                # instead of os.stat's FileNotFoundError → a 500 that
+                # leaks the server-side directory layout.
+                path = os.path.join(self.features_root, f"{vid}.npy")
+                if not os.path.exists(path):
+                    raise ValueError(
+                        f"video_id {vid!r} not found under the features "
+                        f"root")
                 payload = dict(payload)
-                payload["features_path"] = os.path.join(
-                    self.features_root, f"{vid}.npy")
+                payload["features_path"] = path
         else:
             hit = None
         if hit is not None:

@@ -359,8 +359,11 @@ def train(cfg: ExperimentConfig, *, mesh: Optional[Mesh] = None,
             raise NotImplementedError(
                 "device_features stages one process-local table; Grain "
                 "shards examples per process, so each process would need "
-                "a shard-keyed staging pass — use the streaming path on "
-                "multi-host runs")
+                "a shard-keyed staging pass. On multi-host runs use the "
+                "streaming path with data.feature_cache_mb sized to the "
+                "corpus — each process reads its shard's videos once and "
+                "serves repeats from host RAM (the same IO win, minus "
+                "the HBM gather)")
         if cfg.data.dataset == "synthetic":
             raise ValueError(
                 "device_features reads per-video feature files; the "

@@ -35,8 +35,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 
 def build_corpus(root: str, videos: int, dim: int, rows_lo: int,
                  rows_hi: int, queries_per_video: int) -> dict:
@@ -94,6 +92,11 @@ def main(argv=None):
                    help="device-only eval rate to ratio against "
                         "(BENCH charades_c3d row)")
     args = p.parse_args(argv)
+    # This probe measures the HOST pipeline only — pin the CPU backend
+    # here in main(), not at module level: staged_eval_probe.py imports
+    # build_corpus from this file and must not inherit a CPU pin as an
+    # import side effect (its TPU comparison would silently measure CPU).
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -120,10 +123,16 @@ def main(argv=None):
         batch_size=args.batch_size,
     )
     mcfg = dataclasses.replace(cfg.model, feature_dim=args.dim)
-    ds = make_dataset(dcfg, mcfg, split="train")  # default per-video cache
-    ds_nocache = make_dataset(
-        dataclasses.replace(dcfg, feature_cache_mb=0.0), mcfg,
-        split="train")
+
+    def new_ds(cache_mb):
+        # A FRESH dataset per measurement: the per-video LRU lives on the
+        # dataset's reader, so reusing one dataset would hand later
+        # "cold" epochs an LRU warmed by an earlier row whenever the
+        # corpus fits the budget (inflating e.g. the NumPy-fallback rows
+        # with native-read hits).
+        return make_dataset(
+            dataclasses.replace(dcfg, feature_cache_mb=cache_mb), mcfg,
+            split="train")
     # Two distinct IO rates (an early version conflated them and
     # underreported reads 4x at 4 queries/video):
     # - corpus bytes/epoch: unique feature bytes — what the DISK must
@@ -168,22 +177,24 @@ def main(argv=None):
     # interleaves a video's queries across workers, so their hit rate is
     # structurally lower than in-process — measured, not assumed.
     measure("BatchIterator", lambda: BatchIterator(
-        ds_nocache, args.batch_size, shuffle=False), "1", 0.0)
+        new_ds(0.0), args.batch_size, shuffle=False), "1", 0.0)
     measure("BatchIterator", lambda: BatchIterator(
-        ds, args.batch_size, shuffle=False), "1", cache_mb)
+        new_ds(cache_mb), args.batch_size, shuffle=False), "1", cache_mb)
     measure("BatchIterator", lambda: BatchIterator(
-        ds_nocache, args.batch_size, shuffle=False), "0", 0.0)
+        new_ds(0.0), args.batch_size, shuffle=False), "0", 0.0)
     measure("BatchIterator", lambda: BatchIterator(
-        ds, args.batch_size, shuffle=False), "0", cache_mb)
+        new_ds(cache_mb), args.batch_size, shuffle=False), "0", cache_mb)
     for w in (int(x) for x in args.workers.split(",")):
         measure(f"GrainBatchIterator(workers={w})", lambda w=w:
-                GrainBatchIterator(ds, args.batch_size, shuffle=False,
-                                   worker_count=w), "1", cache_mb)
+                GrainBatchIterator(new_ds(cache_mb), args.batch_size,
+                                   shuffle=False, worker_count=w),
+                "1", cache_mb)
     # NumPy fallback at the best worker count for the fallback guidance
     w_max = max(int(x) for x in args.workers.split(","))
     measure(f"GrainBatchIterator(workers={w_max})", lambda:
-            GrainBatchIterator(ds, args.batch_size, shuffle=False,
-                               worker_count=w_max), "0", cache_mb)
+            GrainBatchIterator(new_ds(cache_mb), args.batch_size,
+                               shuffle=False, worker_count=w_max),
+            "0", cache_mb)
 
     warm = [r for r in results if r["epoch"] == "warm"]
     best = max(warm, key=lambda r: r["examples_per_s"])

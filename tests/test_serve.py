@@ -264,8 +264,21 @@ def test_staged_corpus_video_id_requests(tmp_path):
     np.testing.assert_allclose(
         r3.features, resample_features(raws["VB"], cfg.data.num_clips),
         rtol=1e-6)
+    # an unknown id on the FALLBACK path must also be a 400-class
+    # ValueError (not os.stat's FileNotFoundError → 500 leaking the
+    # server-side path)
+    with pytest.raises(ValueError, match="not found under the features"):
+        svc2.prepare({"query": "q", "video_id": "GHOST"})
     with pytest.raises(ValueError, match="features-root"):
         GroundingService(cfg, None, None, vocab, stage_corpus=True)
+
+    # a wrong-width file must fail AT STARTUP (named), not poison
+    # batches at request time
+    np.save(root / "BAD.npy",
+            np.zeros((8, cfg.model.feature_dim + 1), np.float32))
+    with pytest.raises(ValueError, match="BAD.npy"):
+        GroundingService(cfg, None, None, vocab,
+                         features_root=str(root), stage_corpus=True)
 
 
 def test_serve_cli_guards(tmp_path):

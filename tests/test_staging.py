@@ -138,3 +138,14 @@ def test_train_device_features_end_to_end(corpus_cfg, tmp_path):
         main(["--config", "synthetic_tiny", "--max-steps", "1",
               "--device-features",
               "--checkpoint-dir", str(tmp_path / "ckpt2")])
+
+
+def test_eval_device_features_rejects_synthetic():
+    """evaluate(device_features=True) on the synthetic fixture must be
+    the same clean ValueError train raises — not an AttributeError from
+    stage_video_features poking a dataset with no feature files."""
+    from drn_tpu.evaluate import evaluate
+
+    cfg = get_config("synthetic_tiny")
+    with pytest.raises(ValueError, match="synthetic"):
+        evaluate(cfg, None, None, device_features=True)
